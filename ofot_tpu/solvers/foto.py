@@ -1,0 +1,170 @@
+"""FOTO — Benamou–Brenier dynamic optimal transport via ALG2/ADMM.
+
+TPU-native re-design of the reference solver (reference
+benamou_brenier.py:151-271): the entire ALG2 iteration — Poisson-like CG
+solve (stepA), pointwise paraboloid projection (stepB), dual ascent (stepC)
+and the Hamilton–Jacobi convergence criterion — runs as one jitted
+``lax.while_loop`` on (3, Nt, Ny, Nx) arrays, with no host round-trips
+inside the loop.
+
+Algorithm parity notes (SURVEY.md §2 C6):
+  * grid spacings dt = dx = dy = 1 (reference benamou_brenier.py:185-187);
+  * ``A = -r * L_st + r * eps * I`` with the independently-built 7-point
+    space-time Laplacian, NOT div_st @ grad_st (quirk 3);
+  * stepA RHS gets non-homogeneous Neumann time-boundary corrections
+    injecting rho0 / rhoT (reference benamou_brenier.py:72-82);
+  * inner CG: rtol=1e-6, maxiter=1000, scipy convergence test
+    (reference benamou_brenier.py:85);
+  * stepC clamps the density channel at 0 (reference benamou_brenier.py:232);
+  * stopping: crit <= tol, or stagnation |crit_prev - crit| < 1e-5 once a
+    previous criterion exists (reference benamou_brenier.py:254-258).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ofot_tpu.ops import operators
+from ofot_tpu.ops.projection import project_paraboloid
+from ofot_tpu.solvers.cg import cg
+
+
+class FotoState(NamedTuple):
+    """Carry of the ALG2 loop — also the checkpointable solver state."""
+    mu: jnp.ndarray        # (3, Nt, Ny, Nx)  density + momenta
+    q: jnp.ndarray         # (3, Nt, Ny, Nx)  auxiliary (a, b1, b2)
+    phi: jnp.ndarray       # (Nt, Ny, Nx)     potential
+    crit: jnp.ndarray      # scalar, -1 before first iteration
+    prev_crit: jnp.ndarray
+    iteration: jnp.ndarray     # int32
+    cg_iterations: jnp.ndarray  # int32, cumulative inner CG iterations
+    done: jnp.ndarray          # bool
+
+
+class FotoResult(NamedTuple):
+    u: jnp.ndarray        # (Ny, Nx) displacement x
+    v: jnp.ndarray        # (Ny, Nx) displacement y
+    m: jnp.ndarray        # (Ny, Nx) luminosity = -div(u, v)
+    state: FotoState
+
+
+def init_state(rho0: jnp.ndarray, rhoT: jnp.ndarray, Nt: int) -> FotoState:
+    """Initial ALG2 state: density channel linearly interpolated in time
+    between rho0 and rhoT, momenta and duals zero
+    (reference benamou_brenier.py:191-194)."""
+    Ny, Nx = rho0.shape
+    dtype = rho0.dtype
+    w = jnp.arange(Nt, dtype=dtype)[:, None, None] / (Nt - 1)
+    rho_init = (1.0 - w) * rho0[None] + w * rhoT[None]
+    mu = jnp.concatenate(
+        [rho_init[None], jnp.zeros((2, Nt, Ny, Nx), dtype)], axis=0)
+    z = jnp.zeros((), dtype)
+    return FotoState(
+        mu=mu, q=jnp.zeros_like(mu), phi=jnp.zeros((Nt, Ny, Nx), dtype),
+        crit=z - 1.0, prev_crit=z - 1.0,
+        iteration=jnp.int32(0), cg_iterations=jnp.int32(0),
+        done=jnp.asarray(False))
+
+
+def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter):
+    """Solve A phi = div_st(mu - r q) + time-BC terms with matrix-free CG
+    (reference benamou_brenier.py:26-91)."""
+    dt = 1.0
+
+    def A(phi):
+        return -r * operators.laplacian_st(phi, bc="N") + (r * reg_epsilon) * phi
+
+    F = operators.div_st(mu - r * q, bc="N")
+    rho, a = mu[0], q[0]
+    g0 = rho0 - rho[0] + r * a[0]
+    gN = rhoT - rho[-1] + r * a[-1]
+    F = F.at[0].add(-(1.0 / dt) * g0)
+    F = F.at[-1].add((1.0 / dt) * gN)
+
+    res = cg(A, F, rtol=cg_rtol, maxiter=cg_maxiter)
+    return res.x, res.iterations
+
+
+def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
+                   convergence_tol, cg_rtol=1e-6, cg_maxiter=1000,
+                   verbose=False, max_it=100) -> FotoState:
+    """One full ALG2 iteration: stepA + stepB + stepC + criterion."""
+    mu, q_prev = state.mu, state.q
+
+    phi, cg_iters = _stepA(mu, q_prev, rho0, rhoT, r, reg_epsilon,
+                           cg_rtol, cg_maxiter)
+
+    grad_phi = operators.grad_st(phi, bc="N")
+    q = project_paraboloid(grad_phi + mu / r)
+
+    mu = mu + r * (grad_phi - q)
+    mu = mu.at[0].set(jnp.maximum(mu[0], 0.0))   # density positivity
+
+    # Hamilton–Jacobi residual criterion (reference benamou_brenier.py:246-251)
+    res = grad_phi[0] + 0.5 * (grad_phi[1] ** 2 + grad_phi[2] ** 2)
+    num = jnp.sum(mu[0] * jnp.abs(res))
+    denom = jnp.sum(mu[0] * (grad_phi[1] ** 2 + grad_phi[2] ** 2))
+    crit = jnp.sqrt(num / (denom + 1e-10))
+
+    prev_crit = state.crit
+    done = (crit <= convergence_tol) | (
+        (prev_crit >= 0) & (jnp.abs(prev_crit - crit) < 1e-5))
+
+    if verbose:
+        jax.debug.print("{c} ({i}/{m})", c=crit, i=state.iteration + 1,
+                        m=max_it)
+
+    return FotoState(mu=mu, q=q, phi=phi, crit=crit, prev_crit=prev_crit,
+                     iteration=state.iteration + 1,
+                     cg_iterations=state.cg_iterations + cg_iters,
+                     done=done)
+
+
+@partial(jax.jit, static_argnames=("Nt", "max_it", "cg_maxiter", "verbose"))
+def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
+                    reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
+                    cg_maxiter=1000, verbose=False,
+                    init: FotoState | None = None) -> FotoState:
+    """Run the ALG2 loop to convergence; returns the final solver state.
+
+    Defaults mirror the reference library defaults
+    (reference benamou_brenier.py:151); the CLI overrides them like
+    reference main.py does.  Pass ``init`` (e.g. from a checkpoint) to
+    resume a long solve.
+    """
+    state = init_state(rho0, rhoT, Nt) if init is None else init
+
+    def cond(s: FotoState):
+        return (~s.done) & (s.iteration < max_it)
+
+    def body(s: FotoState):
+        return alg2_iteration(
+            s, rho0, rhoT, r=r, reg_epsilon=reg_epsilon,
+            convergence_tol=convergence_tol, cg_rtol=cg_rtol,
+            cg_maxiter=cg_maxiter, verbose=verbose, max_it=max_it)
+
+    return lax.while_loop(cond, body, state)
+
+
+def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
+          max_it=100, cg_rtol=1e-6, cg_maxiter=1000,
+          verbose=False, init: FotoState | None = None) -> FotoResult:
+    """Full FOTO solve: ALG2 on the potential, then flow extraction
+    (trajectory integration + luminosity), mirroring the reference's
+    ``benamou_brenier.solve`` -> (u, v, m) contract
+    (reference benamou_brenier.py:269-271)."""
+    from ofot_tpu.solvers import flow_extract  # local import to avoid cycle
+
+    rho0 = jnp.asarray(rho0)
+    rhoT = jnp.asarray(rhoT)
+    state = solve_potential(
+        rho0, rhoT, Nt, r=r, convergence_tol=convergence_tol,
+        reg_epsilon=reg_epsilon, max_it=max_it, cg_rtol=cg_rtol,
+        cg_maxiter=cg_maxiter, verbose=verbose, init=init)
+    u, v, m = flow_extract.flow_from_potential(state.phi)
+    return FotoResult(u=u, v=v, m=m, state=state)
