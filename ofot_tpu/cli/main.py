@@ -1,0 +1,197 @@
+"""CLI entry point — drop-in flag surface of the reference's main.py.
+
+Mirrors reference main.py:28-47 exactly (14 flags, same defaults, same
+benchmark/output file formats) so run scripts written for the reference work
+unchanged, including ``--lambda=...`` resolving to ``--lambdaa`` via
+argparse prefix matching (SURVEY.md §2 quirk 4).  TPU-specific additions:
+``--precision``, ``--platform``, ``--save-flow-viz`` (host-side Middlebury
+color wheel), ``--checkpoint`` / ``--resume`` for long FOTO solves, and
+``--profile`` (jax.profiler trace).
+
+Usage:  python -m ofot_tpu.cli.main f0.png f1.png --algo=foto --Nt=16 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="sample argument parser")
+    p.add_argument("f0", help="first frame")
+    p.add_argument("f1", help="second frame")
+    p.add_argument("--out", nargs="?", help="optical flow output")
+    p.add_argument("--ground-truth", nargs="?", help="optical flow ground truth")
+    p.add_argument("--save-benchmark", nargs="?", help="file output of benchmark")
+    p.add_argument("--save-reconstruction", nargs="?",
+                   help="file output of reconstruction")
+    p.add_argument("--save-lum", nargs="?", help="file output of luminosity")
+    # Model parameters (reference defaults)
+    p.add_argument("--algo", nargs="?", help="Algorithm")
+    p.add_argument("--Nt", nargs="?", type=int, default=4,
+                   help="Discretization in time")
+    p.add_argument("--r", nargs="?", type=float, default=1.0,
+                   help="augmented langrangian parameter")
+    p.add_argument("--convergence-tol", nargs="?", type=float, default=0.1,
+                   help="Stopping threshold")
+    p.add_argument("--reg-epsilon", nargs="?", type=float, default=1e-3,
+                   help="Regularization for the step 1 of Benamou-Brenier")
+    p.add_argument("--max-it", nargs="?", type=int, default=100,
+                   help="Maximal number of iteration")
+    p.add_argument("--normalize", action=argparse.BooleanOptionalAction,
+                   help="normalize the input images if enabled")
+    p.add_argument("--alpha", nargs="?", type=float, default=0.1,
+                   help="Horn-Schunck alpha")
+    p.add_argument("--lambdaa", nargs="?", type=float, default=0.2,
+                   help="Horn-Schunck lambda")
+    # --- TPU-framework extensions ---
+    p.add_argument("--precision", choices=["f32", "f64"], default="f32",
+                   help="compute precision (f64 needs CPU or jax x64)")
+    p.add_argument("--platform", nargs="?",
+                   help="force a JAX platform, e.g. cpu")
+    p.add_argument("--save-flow-viz", nargs="?",
+                   help="Middlebury color-wheel PNG of the flow")
+    p.add_argument("--checkpoint", nargs="?",
+                   help="save final FOTO solver state here (.npz)")
+    p.add_argument("--resume", nargs="?",
+                   help="resume FOTO from a saved state (.npz)")
+    p.add_argument("--profile", nargs="?",
+                   help="write a jax.profiler trace to this directory")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress per-iteration solver prints")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    from ofot_tpu.utils import image, flo, metrics, warp, colorwheel
+    from ofot_tpu.solvers import foto, gn
+    from ofot_tpu.utils.checkpoint import save_state, load_state
+
+    np.random.seed(0)   # reference main.py:49 (no stochastic path used)
+
+    f1, w, h = image.open_grayscale(args.f0)
+    f2, w, h = image.open_grayscale(args.f1)
+
+    print("***********************************")
+    print("Input images: ")
+    print(" - f0 = " + str(args.f0) + " / total mass = " + str(np.sum(f1)))
+    print(" - f1 = " + str(args.f1) + " / total mass = " + str(np.sum(f2)))
+    if args.normalize is True:
+        print(" - normalize input images")
+        rho1 = f1 / np.sum(f1)
+        rho2 = f2 / np.sum(f2)
+    else:
+        rho1 = f1
+        rho2 = f2
+
+    dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+    rho1_d = jnp.asarray(rho1, dtype)
+    rho2_d = jnp.asarray(rho2, dtype)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    start_time = time.time()
+    if args.algo == "foto":
+        print(" - algorithm: FOTO")
+        print(f"\t - Nt={args.Nt}")
+        print(f"\t - r={args.r}")
+        print(f"\t - convergence_tol={args.convergence_tol}")
+        print(f"\t - reg_epsilon={args.reg_epsilon}")
+        print(f"\t - max_it={args.max_it}")
+        init = load_state(args.resume) if args.resume else None
+        result = foto.solve(
+            rho1_d, rho2_d, args.Nt, r=args.r,
+            convergence_tol=args.convergence_tol,
+            reg_epsilon=args.reg_epsilon, max_it=args.max_it,
+            verbose=not args.quiet, init=init)
+        u, v, m = (np.asarray(result.u), np.asarray(result.v),
+                   np.asarray(result.m))
+        jax.block_until_ready(result.state.phi)
+        if args.checkpoint:
+            save_state(args.checkpoint, result.state)
+    elif args.algo == "GN":
+        print(" - algorithm: GN")
+        print(f"\t - alpha={args.alpha}")
+        print(f"\t - lambda={args.lambdaa}")
+        res = gn.solve_fields(rho1_d, rho2_d, args.alpha, args.lambdaa)
+        jax.block_until_ready(res.u)
+        u, v, m = np.asarray(res.u), np.asarray(res.v), np.asarray(res.m)
+    else:
+        print(f"ERROR: unknown --algo '{args.algo}' (expected foto or GN)",
+              file=sys.stderr)
+        return 2
+    timer = time.time() - start_time
+
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    # Benchmark (reference main.py:107-134)
+    print("Benchmark:")
+    rec = np.asarray(warp.apply_flow(
+        jnp.asarray(f1, dtype), jnp.asarray(u, dtype), jnp.asarray(v, dtype),
+        jnp.asarray(m, dtype)))
+    rec = np.clip(rec, 0, 1)
+    IE = metrics.IE(w, h, rec, f2)
+    print(" - time: " + str(timer) + "s")
+    print(" - IE: " + str(IE))
+
+    if args.ground_truth:
+        wGT, hGT, uGT, vGT = flo.read_flo(args.ground_truth)
+        assert wGT == w and hGT == h
+        AEE, SDEE = metrics.EE(w, h, u.ravel(), v.ravel(), uGT, vGT)
+        AAE, SDAE = metrics.AE(w, h, u.ravel(), v.ravel(), uGT, vGT)
+        print(" - EE-mean: " + str(AEE))
+        print(" - EE-stddev: " + str(SDEE))
+        print(" - AE-mean: " + str(AAE))
+        print(" - AE-stddev: " + str(SDAE))
+
+    if args.save_benchmark:
+        with open(args.save_benchmark, "w") as f:
+            if args.ground_truth:
+                f.write("EE-mean: " + str(AEE) + "\n")
+                f.write("EE-stddev: " + str(SDEE) + "\n")
+                f.write("AE-mean: " + str(AAE) + "\n")
+                f.write("AE-stddev: " + str(SDAE) + "\n")
+            f.write("IE: " + str(IE) + "\n")
+            f.write("time: " + str(timer) + "s")
+
+    if args.out:
+        print("saving flo file...")
+        flo.write_flo(w, h, u.ravel(), v.ravel(), args.out)
+
+    if args.save_reconstruction:
+        print("saving reconstruction...")
+        image.save_grayscale(rec.reshape(h, w), args.save_reconstruction)
+
+    if args.save_lum:
+        print("saving luminosity...")
+        image.save_grayscale(((m + 1) / 2).reshape(h, w), args.save_lum)
+
+    if args.save_flow_viz:
+        print("saving flow visualization...")
+        from PIL import Image as PILImage
+        rgb, _, _ = colorwheel.motion_to_color(u.reshape(h, w), v.reshape(h, w))
+        PILImage.fromarray(rgb, "RGB").save(args.save_flow_viz)
+
+    print("***********************************")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,235 @@
+"""Benchmark pipeline — Python re-implementation of the reference's run.sh.
+
+Covers the full dataset lifecycle and sweep (reference run.sh:3-157) with no
+bash/ImageMagick/wget dependency:
+
+  * ``download``: fetch + unpack the Middlebury-1 eval-gray-twoframes zip
+    (or unpack a local zip in zero-egress environments), then resize 50%,
+    build the illumination-augmented ``middlebury-1-lum`` variant (seeded),
+    and mass-normalize both datasets;
+  * ``run``: per-sequence sweep of both algorithms with the reference's
+    canonical parameters (GN: alpha=0.1 lambda=0.2, run.sh:103; FOTO: r=1
+    tol=0.01 eps=1e-2 Nt=16 max_it=200, run.sh:114), producing the same
+    artifact set (diff.png, {gn,foto}.{flo,benchmark.txt,rec.png,lum.png,
+    png}) with the same ``.out.<algo>.sucess`` flag-file resume semantics
+    [sic — the reference's spelling], plus a structured ``manifest.json``;
+  * ``restart``: wipe results and re-run.
+
+Usage: python -m ofot_tpu.cli.pipeline {download,run,restart} [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+from pathlib import Path
+
+MIDDLEBURY_URL = ("https://vision.middlebury.edu/flow/data/comp/zip/"
+                  "eval-gray-twoframes.zip")
+
+GN_ARGS = ["--algo=GN", "--alpha=0.1", "--lambda=0.2"]
+FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
+             "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200"]
+
+_NATIVE_COLOR_FLOW = Path(__file__).resolve().parent.parent / "native" / "color_flow"
+
+
+def _sequences(dataset_dir: Path):
+    root = dataset_dir / "eval-data-gray"
+    if not root.is_dir():
+        return []
+    return sorted(p for p in root.iterdir() if p.is_dir())
+
+
+def color_flow(flo_path: Path, png_path: Path) -> None:
+    """Colorize a .flo: native C++ tool when built, Python twin otherwise."""
+    if _NATIVE_COLOR_FLOW.exists():
+        subprocess.run([str(_NATIVE_COLOR_FLOW), "-quiet", str(flo_path),
+                        str(png_path)], check=True)
+    else:
+        from ofot_tpu.utils.colorwheel import flow_to_png
+        flow_to_png(str(flo_path), str(png_path))
+
+
+# ---------------------------------------------------------------- download
+
+def cmd_download(args) -> int:
+    data = Path(args.data_root)
+    mb1 = data / "middlebury-1"
+    if mb1.exists():
+        shutil.rmtree(mb1)
+    mb1.mkdir(parents=True)
+
+    zip_path = args.local_zip
+    if not zip_path:
+        zip_path = str(data / "eval-gray-twoframes.zip")
+        import urllib.request
+        print(f"downloading {MIDDLEBURY_URL} ...")
+        urllib.request.urlretrieve(MIDDLEBURY_URL, zip_path)
+    with zipfile.ZipFile(zip_path) as z:
+        members = [m for m in z.namelist() if m.startswith("eval-data-gray/")]
+        z.extractall(mb1, members=members)
+
+    _resize_dataset(mb1, args.resize_percent)
+    _create_lum_dataset(data, seed=args.lum_seed)
+    _normalize_dataset(data / "middlebury-1")
+    _normalize_dataset(data / "middlebury-1-lum")
+    return 0
+
+
+def _resize_dataset(dataset_dir: Path, percent: int = 50) -> None:
+    """50% downscale of both frames in place (run.sh:18-30 equivalent)."""
+    from PIL import Image
+    print("Resizing datasets")
+    for seq in _sequences(dataset_dir):
+        for name in ("frame10.png", "frame11.png"):
+            p = seq / name
+            im = Image.open(p)
+            im = im.resize((im.width * percent // 100,
+                            im.height * percent // 100), Image.LANCZOS)
+            im.save(p)
+
+
+def _create_lum_dataset(data: Path, seed: int = 12345) -> None:
+    """Build middlebury-1-lum: copy frame10, augment frame11 with seeded
+    random illumination artifacts (run.sh:32-48 equivalent).  Per-sequence
+    seeds are drawn from one seeded RNG, mirroring the bash ``$RANDOM``
+    chain seeded once at 12345."""
+    import random as _random
+    from ofot_tpu.cli import create_lum_dataset as lum
+
+    print("Adding random artifical illumination")
+    src = data / "middlebury-1"
+    dst = data / "middlebury-1-lum"
+    (dst / "eval-data-gray").mkdir(parents=True, exist_ok=True)
+    seq_rng = _random.Random(seed)
+    from ofot_tpu.utils import image as img
+    for seq in _sequences(src):
+        out_seq = dst / "eval-data-gray" / seq.name
+        out_seq.mkdir(exist_ok=True)
+        shutil.copy(seq / "frame10.png", out_seq / "frame10.png")
+        f, w, h = img.open_grayscale(str(seq / "frame11.png"))
+        f = lum.augment(f, w, h, seq_rng.randint(0, 32767))
+        img.save_grayscale(f, str(out_seq / "frame11.png"))
+
+
+def _normalize_dataset(dataset_dir: Path) -> None:
+    """Mass-normalize both frames of every sequence (run.sh:50-70)."""
+    from ofot_tpu.utils import image as img
+    print("Normalizing datasets")
+    for seq in _sequences(dataset_dir):
+        f1, w, h = img.open_grayscale(str(seq / "frame10.png"))
+        f2, w, h = img.open_grayscale(str(seq / "frame11.png"))
+        f1, f2 = img.mass_normalize_pair_common_max(f1, f2)
+        img.save_grayscale(f1, str(seq / "frame10.png"))
+        img.save_grayscale(f2, str(seq / "frame11.png"))
+
+
+# ---------------------------------------------------------------- run
+
+def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
+              extra_cli: list[str]) -> dict:
+    """One main.py invocation's worth of work, in-process."""
+    from ofot_tpu.cli import main as cli_main
+
+    flag = out_dir / f".out.{algo.lower()}.sucess"     # [sic]
+    if flag.exists():
+        return {"algo": algo, "status": "cached"}
+    argv = [str(frame10), str(frame11),
+            f"--out={out_dir}/{algo.lower()}.flo",
+            f"--save-benchmark={out_dir}/{algo.lower()}.benchmark.txt",
+            f"--save-reconstruction={out_dir}/{algo.lower()}.rec.png",
+            f"--save-lum={out_dir}/{algo.lower()}.lum.png",
+            "--quiet"]
+    argv += GN_ARGS if algo == "GN" else FOTO_ARGS
+    argv += extra_cli
+    t0 = time.time()
+    rc = cli_main.main(argv)
+    wall = time.time() - t0
+    if rc != 0:
+        return {"algo": algo, "status": "failed", "rc": rc}
+    color_flow(out_dir / f"{algo.lower()}.flo", out_dir / f"{algo.lower()}.png")
+    flag.touch()
+    return {"algo": algo, "status": "ok", "wall_s": wall}
+
+
+def cmd_run(args) -> int:
+    from ofot_tpu.cli import data_diff
+
+    data = Path(args.data_root)
+    results = Path(args.results)
+    manifest_path = results / "manifest.json"
+    manifest = (json.loads(manifest_path.read_text())
+                if manifest_path.exists() else {})
+    algos = args.algos.split(",")
+    extra = []
+    if args.platform:
+        extra.append(f"--platform={args.platform}")
+    if args.precision:
+        extra.append(f"--precision={args.precision}")
+    if args.extra_args:
+        extra += args.extra_args.split()
+
+    for ds_name in args.datasets.split(","):
+        ds = data / ds_name
+        out_root = results / ds_name
+        out_root.mkdir(parents=True, exist_ok=True)
+        for seq in _sequences(ds):
+            out_dir = out_root / seq.name
+            out_dir.mkdir(exist_ok=True)
+            frame10 = seq / "frame10.png"
+            frame11 = seq / "frame11.png"
+            data_diff.main([str(frame10), str(frame11),
+                            str(out_dir / "diff.png")])
+            entry = manifest.setdefault(f"{ds_name}/{seq.name}", {})
+            for algo in algos:
+                print(f"== {ds_name}/{seq.name} [{algo}] ==", flush=True)
+                entry[algo] = _run_algo(algo, frame10, frame11, out_dir, extra)
+                manifest_path.write_text(json.dumps(manifest, indent=1))
+    return 0
+
+
+def cmd_restart(args) -> int:
+    results = Path(args.results)
+    if results.exists():
+        shutil.rmtree(results)
+    return cmd_run(args)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="ofot_tpu benchmark pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("download", help="fetch + prepare datasets")
+    d.add_argument("--data-root", default="data")
+    d.add_argument("--local-zip", help="use a local eval-gray-twoframes.zip "
+                   "(zero-egress environments)")
+    d.add_argument("--resize-percent", type=int, default=50)
+    d.add_argument("--lum-seed", type=int, default=12345)
+    d.set_defaults(fn=cmd_download)
+
+    for name, fn in (("run", cmd_run), ("restart", cmd_restart)):
+        r = sub.add_parser(name, help=f"{name} the sweep")
+        r.add_argument("--data-root", default="data")
+        r.add_argument("--results", default="results")
+        r.add_argument("--datasets", default="middlebury-1,middlebury-1-lum")
+        r.add_argument("--algos", default="GN,foto")
+        r.add_argument("--platform", help="force JAX platform (e.g. cpu)")
+        r.add_argument("--precision", choices=["f32", "f64"])
+        r.add_argument("--extra-args", default="",
+                       help="extra CLI args appended to every solve "
+                            "(later flags override the canonical ones)")
+        r.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

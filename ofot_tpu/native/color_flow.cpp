@@ -1,0 +1,195 @@
+// color_flow — Middlebury optical-flow color visualizer (TPU-framework
+// native tool).  Fresh C++ implementation of the behavior of the
+// reference's prebuilt bin/color_flow ELF (SURVEY.md §2 C13):
+//
+//   usage: color_flow [-quiet] in.flo out.png [maxmotion]
+//
+// Reads a Middlebury .flo file (float32 tag 202021.25, int32 w, h, then
+// h*w*2 float32 interleaved u,v), validates tag and dimensions with the
+// same diagnostics, normalizes by the maximum motion radius over known
+// pixels (or by the explicit [maxmotion] argument), maps each vector
+// through the 55-entry color wheel (RY=15, YG=6, GC=4, CB=11, BM=13, MR=6),
+// and writes an RGB PNG via libpng.  Unknown flow (|u| or |v| > 1e9)
+// renders black.
+//
+// Build: make -C ofot_tpu/native      (requires libpng; zlib fallback none)
+
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <stdexcept>
+#include <vector>
+
+#include <png.h>
+
+namespace {
+
+constexpr float kFloTag = 202021.25f;
+constexpr double kUnknownThresh = 1e9;
+
+[[noreturn]] void fail(const char* fmt, const char* arg = nullptr, int num = 0) {
+    char buf[1024];
+    std::snprintf(buf, sizeof buf, fmt, arg, num);
+    std::fprintf(stderr, "%s\n", buf);
+    std::exit(1);
+}
+
+struct Flow {
+    int width = 0, height = 0;
+    std::vector<float> u, v;   // row-major, h*w each
+};
+
+Flow read_flo(const char* path) {
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) fail("ReadFlowFile: could not open %s", path);
+
+    float tag;
+    std::int32_t w, h;
+    if (std::fread(&tag, sizeof tag, 1, f) != 1 ||
+        std::fread(&w, sizeof w, 1, f) != 1 ||
+        std::fread(&h, sizeof h, 1, f) != 1)
+        fail("ReadFlowFile: problem reading file %s", path);
+    if (tag != kFloTag)
+        fail("ReadFlowFile(%s): wrong tag (possibly due to big-endian machine?)", path);
+    if (w < 1 || w > 99999)
+        fail("ReadFlowFile(%s): illegal width %d", path, w);
+    if (h < 1 || h > 99999)
+        fail("ReadFlowFile(%s): illegal height %d", path, h);
+
+    Flow flow;
+    flow.width = w;
+    flow.height = h;
+    flow.u.resize(static_cast<size_t>(w) * h);
+    flow.v.resize(static_cast<size_t>(w) * h);
+    std::vector<float> row(static_cast<size_t>(w) * 2);
+    for (int y = 0; y < h; ++y) {
+        if (std::fread(row.data(), sizeof(float), row.size(), f) != row.size())
+            fail("ReadFlowFile: problem reading file %s", path);
+        for (int x = 0; x < w; ++x) {
+            flow.u[static_cast<size_t>(y) * w + x] = row[2 * x];
+            flow.v[static_cast<size_t>(y) * w + x] = row[2 * x + 1];
+        }
+    }
+    std::fclose(f);
+    return flow;
+}
+
+// ---- color wheel ---------------------------------------------------------
+
+class ColorWheel {
+  public:
+    ColorWheel() {
+        int k = 0;
+        auto seg = [&](int n, auto rgb_of) {
+            for (int i = 0; i < n; ++i, ++k) {
+                auto c = rgb_of(i);
+                wheel_[k][0] = c[0];
+                wheel_[k][1] = c[1];
+                wheel_[k][2] = c[2];
+            }
+        };
+        const int RY = 15, YG = 6, GC = 4, CB = 11, BM = 13, MR = 6;
+        seg(RY, [&](int i) { return std::array<int, 3>{255, 255 * i / RY, 0}; });
+        seg(YG, [&](int i) { return std::array<int, 3>{255 - 255 * i / YG, 255, 0}; });
+        seg(GC, [&](int i) { return std::array<int, 3>{0, 255, 255 * i / GC}; });
+        seg(CB, [&](int i) { return std::array<int, 3>{0, 255 - 255 * i / CB, 255}; });
+        seg(BM, [&](int i) { return std::array<int, 3>{255 * i / BM, 0, 255}; });
+        seg(MR, [&](int i) { return std::array<int, 3>{255, 0, 255 - 255 * i / MR}; });
+    }
+
+    // (u, v) already normalized to the unit disc for in-range motion
+    void map(double u, double v, std::uint8_t* out) const {
+        double rad = std::sqrt(u * u + v * v);
+        double a = std::atan2(-v, -u) / M_PI;
+        double fk = (a + 1.0) / 2.0 * (kN - 1);
+        int k0 = static_cast<int>(fk);
+        int k1 = (k0 + 1) % kN;
+        double f = fk - k0;
+        for (int b = 0; b < 3; ++b) {
+            double col0 = wheel_[k0][b] / 255.0;
+            double col1 = wheel_[k1][b] / 255.0;
+            double col = (1.0 - f) * col0 + f * col1;
+            if (rad <= 1.0)
+                col = 1.0 - rad * (1.0 - col);   // desaturate toward white
+            else
+                col *= 0.75;                     // out of range: dim
+            out[b] = static_cast<std::uint8_t>(255.0 * col);
+        }
+    }
+
+  private:
+    static constexpr int kN = 15 + 6 + 4 + 11 + 13 + 6;  // 55
+    int wheel_[kN][3] = {};
+};
+
+void write_png(const char* path, int w, int h,
+               const std::vector<std::uint8_t>& rgb) {
+    std::FILE* f = std::fopen(path, "wb");
+    if (!f) fail("WriteFilePNG: could not open %s", path);
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                              nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info) fail("WriteFilePNG: error creating png structure");
+    if (setjmp(png_jmpbuf(png))) fail("WriteFilePNG: error writing %s", path);
+    png_init_io(png, f);
+    png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+                 PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    for (int y = 0; y < h; ++y)
+        png_write_row(png, const_cast<png_bytep>(&rgb[static_cast<size_t>(y) * w * 3]));
+    png_write_end(png, nullptr);
+    png_destroy_write_struct(&png, &info);
+    std::fclose(f);
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+    bool quiet = false;
+    int argi = 1;
+    if (argi < argc && std::strcmp(argv[argi], "-quiet") == 0) {
+        quiet = true;
+        ++argi;
+    }
+    if (argc - argi < 2 || argc - argi > 3) {
+        std::fprintf(stderr, "  usage: %s [-quiet] in.flo out.png [maxmotion]\n",
+                     argv[0]);
+        return 1;
+    }
+    const char* in_path = argv[argi];
+    const char* out_path = argv[argi + 1];
+    double maxmotion = (argc - argi == 3) ? std::atof(argv[argi + 2]) : 0.0;
+
+    Flow flow = read_flo(in_path);
+    const int w = flow.width, h = flow.height;
+
+    // motion statistics over known pixels
+    double maxu = -999, maxv = -999, minu = 999, minv = 999, maxrad = -1;
+    for (size_t i = 0; i < flow.u.size(); ++i) {
+        double u = flow.u[i], v = flow.v[i];
+        if (std::fabs(u) > kUnknownThresh || std::fabs(v) > kUnknownThresh)
+            continue;
+        maxu = std::max(maxu, u); minu = std::min(minu, u);
+        maxv = std::max(maxv, v); minv = std::min(minv, v);
+        maxrad = std::max(maxrad, std::sqrt(u * u + v * v));
+    }
+    if (!quiet)
+        std::printf("max motion: %.4f  motion range: u = %.3f .. %.3f;  "
+                    "v = %.3f .. %.3f\n", maxrad, minu, maxu, minv, maxv);
+    if (maxmotion > 0) maxrad = maxmotion;
+    if (maxrad == 0) maxrad = 1;   // if flow == 0 everywhere
+
+    ColorWheel wheel;
+    std::vector<std::uint8_t> rgb(static_cast<size_t>(w) * h * 3, 0);
+    for (size_t i = 0; i < flow.u.size(); ++i) {
+        double u = flow.u[i], v = flow.v[i];
+        if (std::fabs(u) > kUnknownThresh || std::fabs(v) > kUnknownThresh)
+            continue;   // unknown flow stays black
+        wheel.map(u / maxrad, v / maxrad, &rgb[i * 3]);
+    }
+    write_png(out_path, w, h, rgb);
+    return 0;
+}
