@@ -45,7 +45,9 @@ def cg(A: Callable, b: jnp.ndarray, *,
     ``lax.while_loop``.
     """
     b = jnp.asarray(b)
-    x = jnp.zeros_like(b) if x0 is None else x0
+    # x0 derived from b (not a fresh zeros constant) so the while_loop carry
+    # has a consistent varying-axes type under shard_map
+    x = b * 0.0 if x0 is None else x0
     precond = M if M is not None else (lambda v: v)
 
     r = b - A(x) if x0 is not None else b

@@ -34,6 +34,28 @@ from ofot_tpu.ops.projection import project_paraboloid
 from ofot_tpu.solvers.cg import cg
 
 
+class _DefaultOps:
+    """Single-device space-time operator set (plain XLA stencils + jnp.sum).
+
+    The solver only touches operators through this interface; handing it a
+    ``ofot_tpu.parallel.halo.ShardedOps`` instead runs the identical ALG2
+    loop inside ``shard_map`` with ppermute halos and psum reductions.
+    """
+    grad_st = staticmethod(operators.grad_st)
+    div_st = staticmethod(operators.div_st)
+    laplacian_st = staticmethod(operators.laplacian_st)
+    sum = staticmethod(jnp.sum)
+
+    def __hash__(self):           # usable as a jit static argument
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(self) is type(other)
+
+
+DEFAULT_OPS = _DefaultOps()
+
+
 class FotoState(NamedTuple):
     """Carry of the ALG2 loop — also the checkpointable solver state."""
     mu: jnp.ndarray        # (3, Nt, Ny, Nx)  density + momenta
@@ -57,49 +79,52 @@ def init_state(rho0: jnp.ndarray, rhoT: jnp.ndarray, Nt: int) -> FotoState:
     """Initial ALG2 state: density channel linearly interpolated in time
     between rho0 and rhoT, momenta and duals zero
     (reference benamou_brenier.py:191-194)."""
-    Ny, Nx = rho0.shape
     dtype = rho0.dtype
     w = jnp.arange(Nt, dtype=dtype)[:, None, None] / (Nt - 1)
     rho_init = (1.0 - w) * rho0[None] + w * rhoT[None]
-    mu = jnp.concatenate(
-        [rho_init[None], jnp.zeros((2, Nt, Ny, Nx), dtype)], axis=0)
+    # zeros derived from the inputs (not fresh constants) so that under
+    # shard_map the whole carry is uniformly device-varying (JAX vma rules)
+    zero = rho_init * 0.0
+    mu = jnp.stack([rho_init, zero, zero])
     z = jnp.zeros((), dtype)
     return FotoState(
-        mu=mu, q=jnp.zeros_like(mu), phi=jnp.zeros((Nt, Ny, Nx), dtype),
+        mu=mu, q=mu * 0.0, phi=zero,
         crit=z - 1.0, prev_crit=z - 1.0,
         iteration=jnp.int32(0), cg_iterations=jnp.int32(0),
         done=jnp.asarray(False))
 
 
-def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter):
+def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter,
+           ops=DEFAULT_OPS):
     """Solve A phi = div_st(mu - r q) + time-BC terms with matrix-free CG
     (reference benamou_brenier.py:26-91)."""
     dt = 1.0
 
     def A(phi):
-        return -r * operators.laplacian_st(phi, bc="N") + (r * reg_epsilon) * phi
+        return -r * ops.laplacian_st(phi, bc="N") + (r * reg_epsilon) * phi
 
-    F = operators.div_st(mu - r * q, bc="N")
+    F = ops.div_st(mu - r * q, bc="N")
     rho, a = mu[0], q[0]
     g0 = rho0 - rho[0] + r * a[0]
     gN = rhoT - rho[-1] + r * a[-1]
     F = F.at[0].add(-(1.0 / dt) * g0)
     F = F.at[-1].add((1.0 / dt) * gN)
 
-    res = cg(A, F, rtol=cg_rtol, maxiter=cg_maxiter)
+    res = cg(A, F, rtol=cg_rtol, maxiter=cg_maxiter,
+             dot=lambda a_, b_: ops.sum(a_ * b_))
     return res.x, res.iterations
 
 
 def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                    convergence_tol, cg_rtol=1e-6, cg_maxiter=1000,
-                   verbose=False, max_it=100) -> FotoState:
+                   verbose=False, max_it=100, ops=DEFAULT_OPS) -> FotoState:
     """One full ALG2 iteration: stepA + stepB + stepC + criterion."""
     mu, q_prev = state.mu, state.q
 
     phi, cg_iters = _stepA(mu, q_prev, rho0, rhoT, r, reg_epsilon,
-                           cg_rtol, cg_maxiter)
+                           cg_rtol, cg_maxiter, ops)
 
-    grad_phi = operators.grad_st(phi, bc="N")
+    grad_phi = ops.grad_st(phi, bc="N")
     q = project_paraboloid(grad_phi + mu / r)
 
     mu = mu + r * (grad_phi - q)
@@ -107,8 +132,8 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
 
     # Hamilton–Jacobi residual criterion (reference benamou_brenier.py:246-251)
     res = grad_phi[0] + 0.5 * (grad_phi[1] ** 2 + grad_phi[2] ** 2)
-    num = jnp.sum(mu[0] * jnp.abs(res))
-    denom = jnp.sum(mu[0] * (grad_phi[1] ** 2 + grad_phi[2] ** 2))
+    num = ops.sum(mu[0] * jnp.abs(res))
+    denom = ops.sum(mu[0] * (grad_phi[1] ** 2 + grad_phi[2] ** 2))
     crit = jnp.sqrt(num / (denom + 1e-10))
 
     prev_crit = state.crit
@@ -125,18 +150,11 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                      done=done)
 
 
-@partial(jax.jit, static_argnames=("Nt", "max_it", "cg_maxiter", "verbose"))
-def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
-                    reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
-                    cg_maxiter=1000, verbose=False,
-                    init: FotoState | None = None) -> FotoState:
-    """Run the ALG2 loop to convergence; returns the final solver state.
-
-    Defaults mirror the reference library defaults
-    (reference benamou_brenier.py:151); the CLI overrides them like
-    reference main.py does.  Pass ``init`` (e.g. from a checkpoint) to
-    resume a long solve.
-    """
+def alg2_loop(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
+              reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
+              cg_maxiter=1000, verbose=False, ops=DEFAULT_OPS,
+              init: FotoState | None = None) -> FotoState:
+    """Unjitted ALG2 while_loop — callable directly inside shard_map."""
     state = init_state(rho0, rhoT, Nt) if init is None else init
 
     def cond(s: FotoState):
@@ -146,9 +164,28 @@ def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
         return alg2_iteration(
             s, rho0, rhoT, r=r, reg_epsilon=reg_epsilon,
             convergence_tol=convergence_tol, cg_rtol=cg_rtol,
-            cg_maxiter=cg_maxiter, verbose=verbose, max_it=max_it)
+            cg_maxiter=cg_maxiter, verbose=verbose, max_it=max_it, ops=ops)
 
     return lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnames=("Nt", "max_it", "cg_maxiter", "verbose",
+                                   "ops"))
+def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
+                    reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
+                    cg_maxiter=1000, verbose=False, ops=DEFAULT_OPS,
+                    init: FotoState | None = None) -> FotoState:
+    """Run the ALG2 loop to convergence; returns the final solver state.
+
+    Defaults mirror the reference library defaults
+    (reference benamou_brenier.py:151); the CLI overrides them like
+    reference main.py does.  Pass ``init`` (e.g. from a checkpoint) to
+    resume a long solve.
+    """
+    return alg2_loop(rho0, rhoT, Nt, r=r, convergence_tol=convergence_tol,
+                     reg_epsilon=reg_epsilon, max_it=max_it, cg_rtol=cg_rtol,
+                     cg_maxiter=cg_maxiter, verbose=verbose, ops=ops,
+                     init=init)
 
 
 def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
