@@ -1,0 +1,115 @@
+"""Benchmark: FOTO ALG2 throughput at the reference's production config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the run.sh production configuration (320x240 half-res frames,
+Nt=16, reference run.sh:114) — a fixed number of full ALG2 iterations
+(stepA CG at rtol=1e-6/maxiter=1000 exactly like the reference's scipy cg
+call, stepB projection, stepC, HJ criterion), fully jitted, fp32.
+
+Metric: space-time grid-point iterations per second = Nt*Ny*Nx * iters /
+wall.  Baseline: the reference CPU measurement of 0.28 s per ALG2 iteration
+at 64x48, Nt=8 (BASELINE.md) = 24576 / 0.28 = 87,771 grid-point-iters/s —
+stepB's pure-Python projection loop dominates it (~80%), and its cost is
+linear in grid points, so the rate extrapolates to the production shape
+(where the reference's CG share only grows).
+
+Everything runs inside a single jit (eager dispatch through the TPU tunnel
+is minutes-slow — see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# reference CPU rate, grid-point iterations / second (BASELINE.md)
+BASELINE_PTS_PER_S = 24576 / 0.28
+
+
+def blob_pair(ny, nx, dtype):
+    y, x = np.mgrid[0:ny, 0:nx].astype(dtype)
+
+    def blob(cy, cx):
+        return np.exp(-(((y - cy) / (ny / 6)) ** 2
+                        + ((x - cx) / (nx / 6)) ** 2))
+
+    f1 = blob(ny / 2 - ny / 12, nx / 2 - nx / 12)
+    f2 = blob(ny / 2 + ny / 12, nx / 2 + nx / 12)
+    s = max(f1.sum(), f2.sum())
+    return f1 / s, f2 / s
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ny", type=int, default=240)
+    p.add_argument("--nx", type=int, default=320)
+    p.add_argument("--Nt", type=int, default=16)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--platform", help="force JAX platform")
+    p.add_argument("--cg-rtol", type=float, default=1e-6)
+    p.add_argument("--cg-maxiter", type=int, default=1000)
+    args = p.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    from jax import lax
+    from ofot_tpu.solvers import foto
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    f1, f2 = blob_pair(args.ny, args.nx, np.float32)
+    rho0 = jnp.asarray(f1)
+    rhoT = jnp.asarray(f2)
+    Nt, iters = args.Nt, args.iters
+
+    @jax.jit
+    def run(rho0, rhoT):
+        st = foto.init_state(rho0, rhoT, Nt)
+
+        def body(_, s):
+            return foto.alg2_iteration(
+                s, rho0, rhoT, r=1.0, reg_epsilon=1e-2,
+                convergence_tol=0.0,          # fixed-iteration benchmark
+                cg_rtol=args.cg_rtol, cg_maxiter=args.cg_maxiter)
+
+        st = lax.fori_loop(0, iters, body, st)
+        return st.crit, st.cg_iterations
+
+    t0 = time.time()
+    crit, cg_it = jax.block_until_ready(run(rho0, rhoT))
+    compile_and_first = time.time() - t0
+    print(f"compile+first run: {compile_and_first:.1f}s  crit={float(crit):.4f}"
+          f"  total CG iters={int(cg_it)}", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.time()
+        jax.block_until_ready(run(rho0, rhoT))
+        best = min(best, time.time() - t0)
+
+    pts = args.Nt * args.ny * args.nx * iters
+    rate = pts / best
+    print(f"best wall: {best:.3f}s for {iters} ALG2 iters "
+          f"({best / iters * 1e3:.1f} ms/iter)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "foto_alg2_gridpoint_iters_per_s",
+        "value": round(rate, 1),
+        "unit": "grid-point-iterations/s",
+        "vs_baseline": round(rate / BASELINE_PTS_PER_S, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

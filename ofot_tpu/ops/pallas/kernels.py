@@ -1,0 +1,179 @@
+"""Pallas TPU kernels for the FOTO hot path.
+
+Two kernels cover ~all of an ALG2 iteration's inner work:
+
+  * ``project_paraboloid_pallas`` — stepB pointwise projection, the
+    reference's dominant cost (80% of runtime as a Python loop, SURVEY.md
+    §6).  One fused VPU pass over the (3, L) point set: membership test,
+    both cubic-root branches, select — no intermediate HBM traffic.
+  * ``cg_operator_pallas`` — the CG system operator
+    ``y = -r * L_st(x) + r*eps*x`` (7-point space-time Laplacian fused with
+    the axpy), executed entirely in VMEM.
+
+Both hold whole (Nt, Ny, Nx) fp32 fields in VMEM — at the reference's
+production shape (16, 240, 320) that is ~4.9 MB, well under the ~16 MB/core
+budget; larger grids fall back to the XLA stencil path (see
+``fits_in_vmem``).  Transcendentals (cbrt via exp/log, arccos via
+atan2-free polynomial-ready forms) are expressed with ops Mosaic lowers
+natively.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = 1.4142135623730951
+_TRIG_COEF = 2.0 * (2.0 / 3.0) ** 0.5
+_ACOS_COEF = (3.0 / 2.0) ** 1.5
+
+# VMEM working-set budget for the whole-array kernels (bytes)
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fits_in_vmem(shape, dtype=jnp.float32, n_buffers=2) -> bool:
+    import numpy as np
+    return int(np.prod(shape)) * jnp.dtype(dtype).itemsize * n_buffers \
+        <= _VMEM_BUDGET
+
+
+# ---------------------------------------------------------------- projection
+
+def _projection_kernel(p_ref, out_ref):
+    alpha = p_ref[0]
+    beta1 = p_ref[1]
+    beta2 = p_ref[2]
+    eps = jnp.asarray(1e-20, alpha.dtype)
+
+    inside = 2.0 * alpha + beta1 * beta1 + beta2 * beta2 <= 0.0
+
+    rho2 = beta1 * beta1 + beta2 * beta2
+    rho = jnp.sqrt(rho2)
+    safe_rho = jnp.maximum(rho, eps)
+    cos_t = jnp.where(rho > 0, beta1 / safe_rho, 1.0)
+    sin_t = jnp.where(rho > 0, beta2 / safe_rho, 0.0)
+
+    ap1 = alpha + 1.0
+    radicand = (4.0 / 3.0) * ap1 * ap1 * ap1 + 4.5 * rho2
+    single = radicand > 0.0
+
+    s = 0.25 * _SQRT2 * rho + (1.0 / 6.0) * jnp.sqrt(jnp.maximum(radicand, 0.0))
+    # cbrt(s) for s >= 0, safe at 0
+    c = jnp.exp(jnp.log(jnp.maximum(s, eps)) * (1.0 / 3.0))
+    c = jnp.where(s > 0, c, 0.0)
+    c_safe = jnp.where(c > 0, c, 1.0)
+    zh_card = -(1.0 / 3.0) * ap1 / c_safe + c
+
+    nam = jnp.maximum(-ap1, eps)
+    acos_arg = jnp.clip(_ACOS_COEF * rho / (nam * jnp.sqrt(nam)), 0.0, 1.0)
+    zh_trig = _TRIG_COEF * jnp.sqrt(nam) * jnp.cos(jnp.arccos(acos_arg) / 3.0)
+
+    zh = jnp.where(single, zh_card, zh_trig)
+    alpha_h = jnp.where(single, -zh * zh, -0.5 * zh * zh)
+    rho_h = jnp.where(single, _SQRT2 * zh, zh)
+
+    out_ref[0] = jnp.where(inside, alpha, alpha_h)
+    out_ref[1] = jnp.where(inside, beta1, rho_h * cos_t)
+    out_ref[2] = jnp.where(inside, beta2, rho_h * sin_t)
+
+
+# per-grid-step chunk of points: (3, 8, 8192) f32 = 768 KB per in/out block
+_PROJ_ROWS = 8
+_PROJ_COLS = 8192
+_PROJ_CHUNK = _PROJ_ROWS * _PROJ_COLS
+
+
+@jax.jit
+def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
+    """Pallas twin of ``ofot_tpu.ops.projection.project_paraboloid``.
+
+    ``p``: (3, ...) -> same shape.  Points are flattened, zero-padded to a
+    chunk multiple (zero points are inside K -> identity, so padding is
+    harmless), and streamed through VMEM in (3, 8, 8192) blocks over a 1-D
+    grid — production shapes never exceed the VMEM budget.
+    """
+    shape = p.shape
+    L = 1
+    for d in shape[1:]:
+        L *= d
+    pad = (-L) % _PROJ_CHUNK
+    p2 = p.reshape(3, L)
+    if pad:
+        p2 = jnp.pad(p2, ((0, 0), (0, pad)))
+    n_chunks = (L + pad) // _PROJ_CHUNK
+    p3 = p2.reshape(3, n_chunks * _PROJ_ROWS, _PROJ_COLS)
+    out = pl.pallas_call(
+        _projection_kernel,
+        grid=(n_chunks,),
+        out_shape=jax.ShapeDtypeStruct(p3.shape, p.dtype),
+        in_specs=[pl.BlockSpec((3, _PROJ_ROWS, _PROJ_COLS),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, _PROJ_ROWS, _PROJ_COLS),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(p3)
+    return out.reshape(3, L + pad)[:, :L].reshape(shape)
+
+
+# ---------------------------------------------------------------- CG operator
+
+def _shift_axis(x, offset, axis):
+    """out[i] = x[i+offset], zero-filled, via static slices + concat."""
+    n = x.shape[axis]
+    idx_body = [slice(None)] * x.ndim
+    idx_zero = [slice(None)] * x.ndim
+    if offset == 1:
+        idx_body[axis] = slice(1, n)
+        idx_zero[axis] = slice(0, 1)
+        body = x[tuple(idx_body)]
+        zero = jnp.zeros_like(x[tuple(idx_zero)])
+        return jnp.concatenate([body, zero], axis=axis)
+    idx_body[axis] = slice(0, n - 1)
+    idx_zero[axis] = slice(0, 1)
+    body = x[tuple(idx_body)]
+    zero = jnp.zeros_like(x[tuple(idx_zero)])
+    return jnp.concatenate([zero, body], axis=axis)
+
+
+def _lap1d_n(x, axis):
+    """3-point Laplacian with the reference's 'N' boundary rows, h=1."""
+    out = _shift_axis(x, 1, axis) - 2.0 * x + _shift_axis(x, -1, axis)
+    # 'N' rows: (-x0 + x1) and (-x_last + x_prev)
+    idx0 = [slice(None)] * x.ndim
+    idx1 = [slice(None)] * x.ndim
+    idxl = [slice(None)] * x.ndim
+    idxp = [slice(None)] * x.ndim
+    n = x.shape[axis]
+    idx0[axis] = slice(0, 1)
+    idx1[axis] = slice(1, 2)
+    idxl[axis] = slice(n - 1, n)
+    idxp[axis] = slice(n - 2, n - 1)
+    row0 = -x[tuple(idx0)] + x[tuple(idx1)]
+    rowl = -x[tuple(idxl)] + x[tuple(idxp)]
+    mid_idx = [slice(None)] * x.ndim
+    mid_idx[axis] = slice(1, n - 1)
+    return jnp.concatenate([row0, out[tuple(mid_idx)], rowl], axis=axis)
+
+
+def _cg_op_kernel(x_ref, out_ref, *, r, reg_epsilon):
+    x = x_ref[:]
+    lap = _lap1d_n(x, 0) + _lap1d_n(x, 1) + _lap1d_n(x, 2)
+    out_ref[:] = -r * lap + (r * reg_epsilon) * x
+
+
+@functools.partial(jax.jit, static_argnames=("r", "reg_epsilon"))
+def cg_operator_pallas(x: jnp.ndarray, r: float = 1.0,
+                       reg_epsilon: float = 1e-2) -> jnp.ndarray:
+    """Fused ``-r * laplacian_st(x, bc='N') + r*eps*x`` on a (Nt, Ny, Nx)
+    field, entirely in VMEM."""
+    return pl.pallas_call(
+        functools.partial(_cg_op_kernel, r=r, reg_epsilon=reg_epsilon),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)

@@ -142,3 +142,12 @@ class ShardedOps:
         local = jnp.sum(x)
         axes = self.axes
         return lax.psum(local, axes) if axes else local
+
+    @staticmethod
+    def project(p):
+        from ofot_tpu.ops.projection import project_paraboloid
+        return project_paraboloid(p)     # pointwise, tile-local
+
+    def cg_operator(self, r, reg_epsilon):
+        return lambda phi: (-r * self.laplacian_st(phi, bc="N")
+                            + (r * reg_epsilon) * phi)

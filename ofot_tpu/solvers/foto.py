@@ -39,12 +39,19 @@ class _DefaultOps:
 
     The solver only touches operators through this interface; handing it a
     ``ofot_tpu.parallel.halo.ShardedOps`` instead runs the identical ALG2
-    loop inside ``shard_map`` with ppermute halos and psum reductions.
+    loop inside ``shard_map`` with ppermute halos and psum reductions, and
+    ``PallasOps`` swaps the hot inner ops for fused Pallas TPU kernels.
     """
     grad_st = staticmethod(operators.grad_st)
     div_st = staticmethod(operators.div_st)
     laplacian_st = staticmethod(operators.laplacian_st)
     sum = staticmethod(jnp.sum)
+    project = staticmethod(project_paraboloid)
+
+    def cg_operator(self, r, reg_epsilon):
+        """The stepA system operator A = -r*L_st + r*eps*I as a callable."""
+        return lambda phi: (-r * self.laplacian_st(phi, bc="N")
+                            + (r * reg_epsilon) * phi)
 
     def __hash__(self):           # usable as a jit static argument
         return hash(type(self))
@@ -53,7 +60,25 @@ class _DefaultOps:
         return type(self) is type(other)
 
 
+class PallasOps(_DefaultOps):
+    """Hot ops as fused Pallas TPU kernels: stepB projection and the CG
+    system operator (ofot_tpu/ops/pallas/kernels.py).  Valid for fields
+    fitting the VMEM budget (``kernels.fits_in_vmem``)."""
+
+    @staticmethod
+    def project(p):
+        from ofot_tpu.ops.pallas import kernels
+        return kernels.project_paraboloid_pallas(p)
+
+    def cg_operator(self, r, reg_epsilon):
+        from ofot_tpu.ops.pallas import kernels
+        import functools
+        return functools.partial(kernels.cg_operator_pallas,
+                                 r=r, reg_epsilon=reg_epsilon)
+
+
 DEFAULT_OPS = _DefaultOps()
+PALLAS_OPS = PallasOps()
 
 
 class FotoState(NamedTuple):
@@ -99,10 +124,7 @@ def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter,
     """Solve A phi = div_st(mu - r q) + time-BC terms with matrix-free CG
     (reference benamou_brenier.py:26-91)."""
     dt = 1.0
-
-    def A(phi):
-        return -r * ops.laplacian_st(phi, bc="N") + (r * reg_epsilon) * phi
-
+    A = ops.cg_operator(r, reg_epsilon)
     F = ops.div_st(mu - r * q, bc="N")
     rho, a = mu[0], q[0]
     g0 = rho0 - rho[0] + r * a[0]
@@ -125,7 +147,7 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                            cg_rtol, cg_maxiter, ops)
 
     grad_phi = ops.grad_st(phi, bc="N")
-    q = project_paraboloid(grad_phi + mu / r)
+    q = ops.project(grad_phi + mu / r)
 
     mu = mu + r * (grad_phi - q)
     mu = mu.at[0].set(jnp.maximum(mu[0], 0.0))   # density positivity
