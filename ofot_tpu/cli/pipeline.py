@@ -32,6 +32,10 @@ from pathlib import Path
 
 MIDDLEBURY_URL = ("https://vision.middlebury.edu/flow/data/comp/zip/"
                   "eval-gray-twoframes.zip")
+MIDDLEBURY2_DATA_URL = ("https://vision.middlebury.edu/flow/data/comp/zip/"
+                        "other-gray-twoframes.zip")
+MIDDLEBURY2_GT_URL = ("https://vision.middlebury.edu/flow/data/comp/zip/"
+                      "other-gt-flow.zip")
 
 GN_ARGS = ["--algo=GN", "--alpha=0.1", "--lambda=0.2"]
 FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
@@ -40,11 +44,24 @@ FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
 _NATIVE_COLOR_FLOW = Path(__file__).resolve().parent.parent / "native" / "color_flow"
 
 
+def _data_subdir(dataset_dir: Path) -> str:
+    """middlebury-1 uses eval-data-gray; middlebury-2 uses other-data-gray
+    with ground truth in other-gt-flow (reference README.md:41-48)."""
+    if (dataset_dir / "other-data-gray").is_dir():
+        return "other-data-gray"
+    return "eval-data-gray"
+
+
 def _sequences(dataset_dir: Path):
-    root = dataset_dir / "eval-data-gray"
+    root = dataset_dir / _data_subdir(dataset_dir)
     if not root.is_dir():
         return []
     return sorted(p for p in root.iterdir() if p.is_dir())
+
+
+def _ground_truth_flo(dataset_dir: Path, seq_name: str) -> Path | None:
+    gt = dataset_dir / "other-gt-flow" / seq_name / "flow10.flo"
+    return gt if gt.exists() else None
 
 
 def color_flow(flo_path: Path, png_path: Path) -> None:
@@ -80,7 +97,34 @@ def cmd_download(args) -> int:
     _create_lum_dataset(data, seed=args.lum_seed)
     _normalize_dataset(data / "middlebury-1")
     _normalize_dataset(data / "middlebury-1-lum")
+
+    if args.with_middlebury2 or args.local_zip_mb2_data:
+        _download_middlebury2(data, args.local_zip_mb2_data,
+                              args.local_zip_mb2_gt)
     return 0
+
+
+def _download_middlebury2(data: Path, local_data_zip=None,
+                          local_gt_zip=None) -> None:
+    """Middlebury-2: other-data-gray frames + other-gt-flow ground truth
+    (reference README.md:41-48).  Kept at native resolution — resizing
+    would invalidate the GT flow fields."""
+    mb2 = data / "middlebury-2"
+    if mb2.exists():
+        shutil.rmtree(mb2)
+    mb2.mkdir(parents=True)
+    import urllib.request
+    for url, local, subdir in (
+            (MIDDLEBURY2_DATA_URL, local_data_zip, "other-data-gray"),
+            (MIDDLEBURY2_GT_URL, local_gt_zip, "other-gt-flow")):
+        zip_path = local
+        if not zip_path:
+            zip_path = str(data / url.rsplit("/", 1)[1])
+            print(f"downloading {url} ...")
+            urllib.request.urlretrieve(url, zip_path)
+        with zipfile.ZipFile(zip_path) as z:
+            members = [m for m in z.namelist() if m.startswith(subdir + "/")]
+            z.extractall(mb2, members=members)
 
 
 def _resize_dataset(dataset_dir: Path, percent: int = 50) -> None:
@@ -134,7 +178,7 @@ def _normalize_dataset(dataset_dir: Path) -> None:
 # ---------------------------------------------------------------- run
 
 def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
-              extra_cli: list[str]) -> dict:
+              extra_cli: list[str], ground_truth: Path | None = None) -> dict:
     """One main.py invocation's worth of work, in-process."""
     from ofot_tpu.cli import main as cli_main
 
@@ -147,6 +191,8 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
             f"--save-reconstruction={out_dir}/{algo.lower()}.rec.png",
             f"--save-lum={out_dir}/{algo.lower()}.lum.png",
             "--quiet"]
+    if ground_truth is not None:
+        argv.append(f"--ground-truth={ground_truth}")
     argv += GN_ARGS if algo == "GN" else FOTO_ARGS
     argv += extra_cli
     t0 = time.time()
@@ -187,10 +233,14 @@ def cmd_run(args) -> int:
             frame11 = seq / "frame11.png"
             data_diff.main([str(frame10), str(frame11),
                             str(out_dir / "diff.png")])
+            gt = _ground_truth_flo(ds, seq.name)
+            if gt is not None and not (out_dir / "flow10.png").exists():
+                color_flow(gt, out_dir / "flow10.png")   # GT visualization
             entry = manifest.setdefault(f"{ds_name}/{seq.name}", {})
             for algo in algos:
                 print(f"== {ds_name}/{seq.name} [{algo}] ==", flush=True)
-                entry[algo] = _run_algo(algo, frame10, frame11, out_dir, extra)
+                entry[algo] = _run_algo(algo, frame10, frame11, out_dir,
+                                        extra, ground_truth=gt)
                 manifest_path.write_text(json.dumps(manifest, indent=1))
     return 0
 
@@ -212,6 +262,11 @@ def main(argv=None) -> int:
                    "(zero-egress environments)")
     d.add_argument("--resize-percent", type=int, default=50)
     d.add_argument("--lum-seed", type=int, default=12345)
+    d.add_argument("--with-middlebury2", action="store_true",
+                   help="also fetch middlebury-2 data + ground-truth flows")
+    d.add_argument("--local-zip-mb2-data",
+                   help="local other-gray-twoframes.zip")
+    d.add_argument("--local-zip-mb2-gt", help="local other-gt-flow.zip")
     d.set_defaults(fn=cmd_download)
 
     for name, fn in (("run", cmd_run), ("restart", cmd_restart)):

@@ -70,7 +70,14 @@ def _projection_kernel(p_ref, out_ref):
 
     nam = jnp.maximum(-ap1, eps)
     acos_arg = jnp.clip(_ACOS_COEF * rho / (nam * jnp.sqrt(nam)), 0.0, 1.0)
-    zh_trig = _TRIG_COEF * jnp.sqrt(nam) * jnp.cos(jnp.arccos(acos_arg) / 3.0)
+    # cos(arccos(x)/3) without acos (unimplemented in Mosaic): it is the
+    # root of 4c^3 - 3c = x in [cos(pi/6), 1], where Newton from c=1 is
+    # monotone (p' >= 6); 5 iterations reach fp32 roundoff
+    c3 = jnp.ones_like(acos_arg)
+    for _ in range(5):
+        c3 = c3 - (4.0 * c3 * c3 * c3 - 3.0 * c3 - acos_arg) / (
+            12.0 * c3 * c3 - 3.0)
+    zh_trig = _TRIG_COEF * jnp.sqrt(nam) * c3
 
     zh = jnp.where(single, zh_card, zh_trig)
     alpha_h = jnp.where(single, -zh * zh, -0.5 * zh * zh)
@@ -170,7 +177,13 @@ def _cg_op_kernel(x_ref, out_ref, *, r, reg_epsilon):
 def cg_operator_pallas(x: jnp.ndarray, r: float = 1.0,
                        reg_epsilon: float = 1e-2) -> jnp.ndarray:
     """Fused ``-r * laplacian_st(x, bc='N') + r*eps*x`` on a (Nt, Ny, Nx)
-    field, entirely in VMEM."""
+    field, entirely in VMEM.
+
+    NOTE: matches the XLA twin in interpret mode, but the concat-heavy
+    whole-array form currently crashes this environment's remote Mosaic
+    compiler (production shapes), and the spectral stepA (solvers/dct.py)
+    obsoletes the CG loop on TPU anyway — kept as an experimental kernel,
+    not wired into any ops context."""
     return pl.pallas_call(
         functools.partial(_cg_op_kernel, r=r, reg_epsilon=reg_epsilon),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),

@@ -151,3 +151,10 @@ class ShardedOps:
     def cg_operator(self, r, reg_epsilon):
         return lambda phi: (-r * self.laplacian_st(phi, bc="N")
                             + (r * reg_epsilon) * phi)
+
+    def stepA_solve(self, F, r, reg_epsilon, cg_rtol, cg_maxiter):
+        """Distributed CG: halo stencils in the operator, psum dots."""
+        from ofot_tpu.solvers.cg import cg
+        res = cg(self.cg_operator(r, reg_epsilon), F, rtol=cg_rtol,
+                 maxiter=cg_maxiter, dot=lambda a, b: self.sum(a * b))
+        return res.x, res.iterations

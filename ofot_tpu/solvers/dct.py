@@ -1,0 +1,90 @@
+"""Direct spectral (DCT) solver for the FOTO stepA system — MXU-native.
+
+The stepA operator ``A = -r * L_st + r*eps*I`` (reference
+benamou_brenier.py:203) is built from 1-D Neumann Laplacians whose 'N'
+boundary rows are ``[-1, 1]`` (reference operators.py:104-108).  That
+matrix is the classic free-boundary discrete Laplacian, diagonalized by the
+orthonormal DCT-II basis:
+
+    v_k[i] = c_k * cos(pi * k * (2i+1) / (2n)),   lambda_k = 2 cos(pi k/n) - 2
+
+so the separable space-time operator is diagonal in the tensor-product DCT
+basis and stepA solves *exactly* in one forward transform, a pointwise
+divide, and one inverse transform — replacing hundreds of CG iterations.
+
+On TPU the transforms are dense (n x n) cosine-matrix contractions: pure
+MXU matmuls (n <= a few hundred per axis), which is precisely the hardware's
+sweet spot.  The solution matches CG-to-convergence within its tolerance
+(tested against the dense operator in tests/test_dct.py); CG remains
+available for bitwise-faithful reference semantics (``stepA_solver="cg"``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=64)
+def _dct_matrix_np(n: int) -> np.ndarray:
+    """Orthonormal DCT-II analysis matrix C (C @ x = coefficients; the
+    inverse transform is C.T)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    C[0, :] *= 1.0 / np.sqrt(2.0)
+    return C
+
+
+@lru_cache(maxsize=64)
+def _neumann_eigenvalues_np(n: int) -> np.ndarray:
+    """Eigenvalues of the 1-D 'N' Laplacian (h = 1) in DCT-II order."""
+    k = np.arange(n)
+    return 2.0 * np.cos(np.pi * k / n) - 2.0
+
+
+def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Apply an (n, n) transform matrix along one axis of a 3-D field."""
+    x = jnp.moveaxis(x, axis, -1)
+    y = jnp.matmul(x, mat.T, preferred_element_type=x.dtype)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def dct3(x: jnp.ndarray) -> jnp.ndarray:
+    """Separable orthonormal DCT-II over the (Nt, Ny, Nx) axes."""
+    Nt, Ny, Nx = x.shape[-3:]
+    dtype = x.dtype
+    for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
+        x = _transform(x, jnp.asarray(_dct_matrix_np(n), dtype), axis)
+    return x
+
+
+def idct3(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`dct3` (transforms are orthonormal)."""
+    Nt, Ny, Nx = x.shape[-3:]
+    dtype = x.dtype
+    for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
+        x = _transform(x, jnp.asarray(_dct_matrix_np(n).T, dtype), axis)
+    return x
+
+
+def stepA_spectrum(Nt: int, Ny: int, Nx: int, r: float, reg_epsilon: float,
+                   dtype=np.float32) -> np.ndarray:
+    """Eigenvalues of A = -r*L_st + r*eps*I on the DCT-II tensor basis."""
+    lt = _neumann_eigenvalues_np(Nt)[:, None, None]
+    ly = _neumann_eigenvalues_np(Ny)[None, :, None]
+    lx = _neumann_eigenvalues_np(Nx)[None, None, :]
+    return (-r * (lt + ly + lx) + r * reg_epsilon).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("r", "reg_epsilon"))
+def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
+                    reg_epsilon: float = 1e-2) -> jnp.ndarray:
+    """Exact solve of ``(-r*L_st + r*eps*I) phi = F`` via 3-D DCT."""
+    Nt, Ny, Nx = F.shape[-3:]
+    spec = jnp.asarray(stepA_spectrum(Nt, Ny, Nx, r, reg_epsilon,
+                                      np.dtype(F.dtype)))
+    return idct3(dct3(F) / spec)

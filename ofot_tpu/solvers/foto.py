@@ -31,7 +31,6 @@ from jax import lax
 
 from ofot_tpu.ops import operators
 from ofot_tpu.ops.projection import project_paraboloid
-from ofot_tpu.solvers.cg import cg
 
 
 class _DefaultOps:
@@ -53,6 +52,14 @@ class _DefaultOps:
         return lambda phi: (-r * self.laplacian_st(phi, bc="N")
                             + (r * reg_epsilon) * phi)
 
+    def stepA_solve(self, F, r, reg_epsilon, cg_rtol, cg_maxiter):
+        """Solve A phi = F; returns (phi, inner_iterations).  Default:
+        matrix-free CG with the reference's scipy-cg semantics."""
+        from ofot_tpu.solvers.cg import cg
+        res = cg(self.cg_operator(r, reg_epsilon), F, rtol=cg_rtol,
+                 maxiter=cg_maxiter, dot=lambda a, b: self.sum(a * b))
+        return res.x, res.iterations
+
     def __hash__(self):           # usable as a jit static argument
         return hash(type(self))
 
@@ -60,24 +67,29 @@ class _DefaultOps:
         return type(self) is type(other)
 
 
-class PallasOps(_DefaultOps):
-    """Hot ops as fused Pallas TPU kernels: stepB projection and the CG
-    system operator (ofot_tpu/ops/pallas/kernels.py).  Valid for fields
-    fitting the VMEM budget (``kernels.fits_in_vmem``)."""
+class DCTOps(_DefaultOps):
+    """Spectral stepA: the Neumann space-time operator is diagonal in the
+    DCT-II tensor basis, so stepA solves exactly with six MXU matmul
+    transforms + a pointwise divide (ofot_tpu/solvers/dct.py) instead of
+    hundreds of CG iterations."""
+
+    def stepA_solve(self, F, r, reg_epsilon, cg_rtol, cg_maxiter):
+        from ofot_tpu.solvers.dct import solve_stepA_dct
+        return solve_stepA_dct(F, r=r, reg_epsilon=reg_epsilon), jnp.int32(1)
+
+
+class PallasOps(DCTOps):
+    """TPU production set: spectral stepA + fused Pallas stepB projection
+    (ofot_tpu/ops/pallas/kernels.py)."""
 
     @staticmethod
     def project(p):
         from ofot_tpu.ops.pallas import kernels
         return kernels.project_paraboloid_pallas(p)
 
-    def cg_operator(self, r, reg_epsilon):
-        from ofot_tpu.ops.pallas import kernels
-        import functools
-        return functools.partial(kernels.cg_operator_pallas,
-                                 r=r, reg_epsilon=reg_epsilon)
-
 
 DEFAULT_OPS = _DefaultOps()
+DCT_OPS = DCTOps()
 PALLAS_OPS = PallasOps()
 
 
@@ -124,7 +136,6 @@ def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter,
     """Solve A phi = div_st(mu - r q) + time-BC terms with matrix-free CG
     (reference benamou_brenier.py:26-91)."""
     dt = 1.0
-    A = ops.cg_operator(r, reg_epsilon)
     F = ops.div_st(mu - r * q, bc="N")
     rho, a = mu[0], q[0]
     g0 = rho0 - rho[0] + r * a[0]
@@ -132,9 +143,7 @@ def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter,
     F = F.at[0].add(-(1.0 / dt) * g0)
     F = F.at[-1].add((1.0 / dt) * gN)
 
-    res = cg(A, F, rtol=cg_rtol, maxiter=cg_maxiter,
-             dot=lambda a_, b_: ops.sum(a_ * b_))
-    return res.x, res.iterations
+    return ops.stepA_solve(F, r, reg_epsilon, cg_rtol, cg_maxiter)
 
 
 def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,

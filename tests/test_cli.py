@@ -1,0 +1,116 @@
+"""CLI end-to-end tests (in-process, CPU) incl. parity vs the reference CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ofot_tpu.cli import main as cli_main
+from ofot_tpu.utils import image, flo
+import fixtures
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def frames(tmp_path_factory):
+    d = tmp_path_factory.mktemp("frames")
+    f1, f2 = fixtures.translating_square(24)
+    image.save_grayscale(f1, str(d / "f0.png"))
+    image.save_grayscale(f2, str(d / "f1.png"))
+    return d
+
+
+def _run(frames, tmp_path, *extra):
+    argv = [str(frames / "f0.png"), str(frames / "f1.png"),
+            "--platform=cpu", "--quiet"] + list(extra)
+    return cli_main.main(argv)
+
+
+def test_gn_writes_all_artifacts(frames, tmp_path):
+    rc = _run(frames, tmp_path, "--algo=GN", "--lambda=0.2",
+              f"--out={tmp_path}/gn.flo",
+              f"--save-benchmark={tmp_path}/b.txt",
+              f"--save-reconstruction={tmp_path}/r.png",
+              f"--save-lum={tmp_path}/l.png",
+              f"--save-flow-viz={tmp_path}/viz.png")
+    assert rc == 0
+    for name in ("gn.flo", "b.txt", "r.png", "l.png", "viz.png"):
+        assert (tmp_path / name).exists(), name
+    txt = (tmp_path / "b.txt").read_text()
+    assert txt.startswith("IE: ") and "time: " in txt
+
+
+def test_unknown_algo_fails(frames, tmp_path, capsys):
+    rc = _run(frames, tmp_path, "--algo=bogus")
+    assert rc == 2
+
+
+def test_ground_truth_metrics(frames, tmp_path):
+    # synthetic GT: constant (4, 4) flow
+    w = h = 24
+    flo.write_flo(w, h, np.full(w * h, 4.0), np.full(w * h, 4.0),
+                  str(tmp_path / "gt.flo"))
+    rc = _run(frames, tmp_path, "--algo=foto", "--Nt=4", "--max-it=8",
+              "--convergence-tol=0.1", "--reg-epsilon=1e-2",
+              f"--ground-truth={tmp_path}/gt.flo",
+              f"--save-benchmark={tmp_path}/b.txt")
+    assert rc == 0
+    txt = (tmp_path / "b.txt").read_text()
+    assert txt.startswith("EE-mean: ")
+    assert "AE-stddev:" in txt and "IE:" in txt
+
+
+def test_checkpoint_resume(frames, tmp_path):
+    rc = _run(frames, tmp_path, "--algo=foto", "--Nt=4", "--max-it=3",
+              "--convergence-tol=1e-9", "--reg-epsilon=1e-2",
+              f"--checkpoint={tmp_path}/ck")
+    assert rc == 0
+    assert (tmp_path / "ck.npz").exists()
+    rc = _run(frames, tmp_path, "--algo=foto", "--Nt=4", "--max-it=6",
+              "--convergence-tol=1e-9", "--reg-epsilon=1e-2",
+              f"--resume={tmp_path}/ck", f"--out={tmp_path}/resumed.flo")
+    assert rc == 0
+    assert (tmp_path / "resumed.flo").exists()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.parametrize("algo_args", [
+    ["--algo=GN", "--alpha=0.1", "--lambda=0.2"],
+    ["--algo=foto", "--r=1", "--convergence-tol=0.1", "--reg-epsilon=1e-2",
+     "--Nt=4", "--max-it=10"],
+])
+def test_parity_vs_reference_cli(frames, tmp_path, algo_args):
+    """Same inputs through both CLIs -> same IE (rtol 1e-4) and AEPE
+    between the .flo outputs < 0.01."""
+    ours_flo = tmp_path / "ours.flo"
+    ref_flo = tmp_path / "ref.flo"
+    ours_b = tmp_path / "ours.txt"
+    ref_b = tmp_path / "ref.txt"
+
+    rc = _run(frames, tmp_path, *algo_args, f"--out={ours_flo}",
+              f"--save-benchmark={ours_b}", "--precision=f64")
+    assert rc == 0
+
+    r = subprocess.run(
+        [sys.executable, "main.py", str(frames / "f0.png"),
+         str(frames / "f1.png"), f"--out={ref_flo}",
+         f"--save-benchmark={ref_b}"] + algo_args,
+        cwd=REF, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    def ie_of(p):
+        return float(p.read_text().splitlines()[-2].split("IE: ")[1])
+
+    ie_ours = float([l for l in ours_b.read_text().splitlines()
+                     if l.startswith("IE")][0].split(": ")[1])
+    ie_ref = float([l for l in ref_b.read_text().splitlines()
+                    if l.startswith("IE")][0].split(": ")[1])
+    np.testing.assert_allclose(ie_ours, ie_ref, rtol=1e-4)
+
+    _, _, u1, v1 = flo.read_flo(str(ours_flo))
+    _, _, u2, v2 = flo.read_flo(str(ref_flo))
+    aepe = np.sqrt((u1 - u2) ** 2 + (v1 - v2) ** 2).mean()
+    assert aepe < 0.01, aepe

@@ -1,0 +1,68 @@
+"""Spectral (DCT) stepA solver: exactness vs the dense operator and vs CG."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ofot_tpu.solvers import dct, foto, cg as cg_mod
+from ofot_tpu.ops import operators
+import golden_ops as G
+import fixtures
+
+RNG = np.random.default_rng(41)
+
+
+def test_dct_roundtrip():
+    x = jnp.asarray(RNG.standard_normal((5, 8, 12)))
+    np.testing.assert_allclose(np.asarray(dct.idct3(dct.dct3(x))),
+                               np.asarray(x), atol=1e-12)
+
+
+def test_dct_diagonalizes_neumann_laplacian():
+    """C L C^T must be diagonal with the claimed eigenvalues."""
+    for n in (4, 7, 12):
+        L = G.d_lap(n, 1.0, "N")
+        C = dct._dct_matrix_np(n)
+        D = C @ L @ C.T
+        np.testing.assert_allclose(D, np.diag(np.diag(D)), atol=1e-12)
+        np.testing.assert_allclose(np.diag(D),
+                                   dct._neumann_eigenvalues_np(n), atol=1e-12)
+
+
+def test_stepA_dct_solves_exactly():
+    Nt, Ny, Nx = 4, 6, 9
+    r, eps = 1.0, 1e-2
+    A = (-r * G.laplacian_st_mat(Nt, Nx, Ny, 1, 1, 1, "N")
+         + r * eps * np.eye(Nt * Nx * Ny))
+    F = RNG.standard_normal((Nt, Ny, Nx))
+    want = np.linalg.solve(A, F.ravel()).reshape(Nt, Ny, Nx)
+    got = dct.solve_stepA_dct(jnp.asarray(F), r=r, reg_epsilon=eps)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+def test_dct_matches_cg():
+    Nt, Ny, Nx = 5, 10, 14
+    r, eps = 1.0, 1e-2
+    F = jnp.asarray(RNG.standard_normal((Nt, Ny, Nx)))
+
+    def A(phi):
+        return -r * operators.laplacian_st(phi, bc="N") + r * eps * phi
+
+    cg_sol = cg_mod.cg(A, F, rtol=1e-12, maxiter=5000).x
+    dct_sol = dct.solve_stepA_dct(F, r=r, reg_epsilon=eps)
+    np.testing.assert_allclose(np.asarray(dct_sol), np.asarray(cg_sol),
+                               atol=1e-8)
+
+
+def test_foto_with_dct_matches_cg_path():
+    """Full ALG2 with the spectral stepA == the CG stepA (tight tol)."""
+    f1, f2 = fixtures.translating_square(20)
+    kw = dict(r=1.0, convergence_tol=1e-6, reg_epsilon=1e-2, max_it=8)
+    cg_run = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                                  cg_rtol=1e-13, **kw)
+    dct_run = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                                   ops=foto.DCT_OPS, **kw)
+    np.testing.assert_allclose(np.asarray(dct_run.phi),
+                               np.asarray(cg_run.phi), atol=1e-7)
+    np.testing.assert_allclose(float(dct_run.crit), float(cg_run.crit),
+                               rtol=1e-6)
