@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-iteration solver prints")
+    p.add_argument("--stepA-solver", choices=["cg", "dct", "pallas", "auto"],
+                   default="cg",
+                   help="FOTO stepA backend: cg = reference-faithful "
+                        "iterative solve; dct = exact spectral solve (MXU); "
+                        "pallas = dct + fused Pallas projection; auto = "
+                        "pallas on TPU, cg elsewhere")
+    p.add_argument("--log-jsonl", nargs="?",
+                   help="append a structured solver-summary record here")
     return p
 
 
@@ -79,8 +87,12 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
     from ofot_tpu.utils import image, flo, metrics, warp, colorwheel
+    from ofot_tpu.utils.trace import JsonlLogger
     from ofot_tpu.solvers import foto, gn
     from ofot_tpu.utils.checkpoint import save_state, load_state
+
+    logger = JsonlLogger(args.log_jsonl)
+    solver_stats = {}
 
     np.random.seed(0)   # reference main.py:49 (no stochastic path used)
 
@@ -115,14 +127,24 @@ def main(argv=None) -> int:
         print(f"\t - reg_epsilon={args.reg_epsilon}")
         print(f"\t - max_it={args.max_it}")
         init = load_state(args.resume) if args.resume else None
+        solver = args.stepA_solver
+        if solver == "auto":
+            solver = ("pallas" if jax.devices()[0].platform not in
+                      ("cpu", "gpu") else "cg")
+        ops = {"cg": foto.DEFAULT_OPS, "dct": foto.DCT_OPS,
+               "pallas": foto.PALLAS_OPS}[solver]
         result = foto.solve(
             rho1_d, rho2_d, args.Nt, r=args.r,
             convergence_tol=args.convergence_tol,
             reg_epsilon=args.reg_epsilon, max_it=args.max_it,
-            verbose=not args.quiet, init=init)
+            verbose=not args.quiet, init=init, ops=ops)
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
                    np.asarray(result.m))
         jax.block_until_ready(result.state.phi)
+        solver_stats = {"iterations": int(result.state.iteration),
+                        "inner_iterations": int(result.state.cg_iterations),
+                        "crit": float(result.state.crit),
+                        "stepA_solver": solver}
         if args.checkpoint:
             save_state(args.checkpoint, result.state)
     elif args.algo == "GN":
@@ -132,6 +154,9 @@ def main(argv=None) -> int:
         res = gn.solve_fields(rho1_d, rho2_d, args.alpha, args.lambdaa)
         jax.block_until_ready(res.u)
         u, v, m = np.asarray(res.u), np.asarray(res.v), np.asarray(res.m)
+        solver_stats = {"inner_iterations": int(res.cg.iterations),
+                        "residual": float(res.cg.residual),
+                        "converged": bool(res.cg.converged)}
     else:
         print(f"ERROR: unknown --algo '{args.algo}' (expected foto or GN)",
               file=sys.stderr)
@@ -150,6 +175,8 @@ def main(argv=None) -> int:
     IE = metrics.IE(w, h, rec, f2)
     print(" - time: " + str(timer) + "s")
     print(" - IE: " + str(IE))
+    logger.log("solve", algo=args.algo, f0=args.f0, f1=args.f1,
+               w=w, h=h, wall_s=timer, IE=IE, **solver_stats)
 
     if args.ground_truth:
         wGT, hGT, uGT, vGT = flo.read_flo(args.ground_truth)

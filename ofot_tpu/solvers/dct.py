@@ -88,3 +88,32 @@ def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
     spec = jnp.asarray(stepA_spectrum(Nt, Ny, Nx, r, reg_epsilon,
                                       np.dtype(F.dtype)))
     return idct3(dct3(F) / spec)
+
+
+# ----------------------------------------------------------- 2-D (GN) case
+
+def dct2(x: jnp.ndarray) -> jnp.ndarray:
+    """Separable orthonormal DCT-II over the trailing (Ny, Nx) axes."""
+    Ny, Nx = x.shape[-2:]
+    dtype = x.dtype
+    x = _transform(x, jnp.asarray(_dct_matrix_np(Ny), dtype), -2)
+    return _transform(x, jnp.asarray(_dct_matrix_np(Nx), dtype), -1)
+
+
+def idct2(x: jnp.ndarray) -> jnp.ndarray:
+    Ny, Nx = x.shape[-2:]
+    dtype = x.dtype
+    x = _transform(x, jnp.asarray(_dct_matrix_np(Ny).T, dtype), -2)
+    return _transform(x, jnp.asarray(_dct_matrix_np(Nx).T, dtype), -1)
+
+
+def neg_lap2d_spectrum(Ny: int, Nx: int, dtype=np.float64) -> np.ndarray:
+    """Eigenvalues of ``-lap_gn`` (= Dx^T Dx + Dy^T Dy with forward/'N'
+    differences, reference classical.py:102-104) on the 2-D DCT-II basis.
+
+    D^T D for the forward/'N' scheme is exactly the free-boundary Neumann
+    Laplacian (negated), so its eigenvalues are ``2 - 2 cos(pi k/n)`` per
+    axis (verified against the dense operator in tests/test_dct.py)."""
+    ly = -_neumann_eigenvalues_np(Ny)[:, None]
+    lx = -_neumann_eigenvalues_np(Nx)[None, :]
+    return (ly + lx).astype(dtype)

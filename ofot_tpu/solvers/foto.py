@@ -220,8 +220,8 @@ def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
 
 
 def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
-          max_it=100, cg_rtol=1e-6, cg_maxiter=1000,
-          verbose=False, init: FotoState | None = None) -> FotoResult:
+          max_it=100, cg_rtol=1e-6, cg_maxiter=1000, verbose=False,
+          ops=DEFAULT_OPS, init: FotoState | None = None) -> FotoResult:
     """Full FOTO solve: ALG2 on the potential, then flow extraction
     (trajectory integration + luminosity), mirroring the reference's
     ``benamou_brenier.solve`` -> (u, v, m) contract
@@ -233,6 +233,6 @@ def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
     state = solve_potential(
         rho0, rhoT, Nt, r=r, convergence_tol=convergence_tol,
         reg_epsilon=reg_epsilon, max_it=max_it, cg_rtol=cg_rtol,
-        cg_maxiter=cg_maxiter, verbose=verbose, init=init)
+        cg_maxiter=cg_maxiter, verbose=verbose, ops=ops, init=init)
     u, v, m = flow_extract.flow_from_potential(state.phi)
     return FotoResult(u=u, v=v, m=m, state=state)

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ofot_tpu.ops import operators, stencils
 from ofot_tpu.solvers.cg import cg, CGResult
@@ -89,20 +90,53 @@ def make_operator(f2, alpha, lambda_):
     return A, M
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
-def solve_fields(f1, f2, alpha=0.1, lambda_=0.2, rtol=1e-10, maxiter=5000):
+def make_spectral_preconditioner(f2, alpha, lambda_):
+    """Spectral (DCT) preconditioner: exact inverse of the smoothness
+    operator plus the *mean* data diagonal, per component.
+
+    ``-lap_gn`` is diagonal in the 2-D DCT-II basis
+    (ofot_tpu/solvers/dct.py), so M^-1 = blockdiag over components of
+    ``(alpha_i * (-L) + c_i I)^-1`` costs 4 MXU matmuls per component and
+    removes the Laplacian's long-wavelength ill-conditioning that the
+    pointwise block-Jacobi preconditioner cannot touch."""
+    from ofot_tpu.solvers import dct as dct_mod
+
+    fx, fy = image_gradients(f2)
+    g = jnp.stack([fx, fy, -f2])
+    Ny, Nx = f2.shape
+    lam = jnp.asarray(dct_mod.neg_lap2d_spectrum(Ny, Nx,
+                                                 np.dtype(f2.dtype)))
+    coef = jnp.stack([jnp.full((), alpha, f2.dtype),
+                      jnp.full((), alpha, f2.dtype),
+                      jnp.full((), lambda_, f2.dtype)])
+    c = jnp.mean(g * g, axis=(-2, -1))            # mean data diagonal
+    spec = coef[:, None, None] * lam[None] + c[:, None, None]
+
+    def M(rhs):
+        return dct_mod.idct2(dct_mod.dct2(rhs) / spec)
+
+    return M
+
+
+@partial(jax.jit, static_argnames=("maxiter", "precond"))
+def solve_fields(f1, f2, alpha=0.1, lambda_=0.2, rtol=1e-10, maxiter=5000,
+                 precond="spectral"):
     """Solve the GN system; returns GNResult of (Ny, Nx) fields.
 
-    ``rtol``/``maxiter`` drive the preconditioned CG; defaults are tight
-    enough that the solution matches the reference's direct spsolve within
-    the AEPE <= 0.05 parity budget (validated in tests/test_gn.py).
+    ``precond``: "spectral" (DCT inverse of smoothness + mean data — a few
+    dozen CG iterations) or "jacobi" (pointwise Sherman–Morrison 3x3
+    blocks).  Defaults are tight enough that the solution matches the
+    reference's direct spsolve within the AEPE <= 0.05 parity budget
+    (validated in tests/test_gn.py).
     """
     f1 = jnp.asarray(f1)
     f2 = jnp.asarray(f2)
     fx, fy = image_gradients(f2)
     ft = f2 - f1
 
-    A, M = make_operator(f2, alpha, lambda_)
+    A, M_jac = make_operator(f2, alpha, lambda_)
+    M = (make_spectral_preconditioner(f2, alpha, lambda_)
+         if precond == "spectral" else M_jac)
     b = jnp.stack([-fx * ft, -fy * ft, f2 * ft])
 
     res = cg(A, b, rtol=rtol, maxiter=maxiter, M=M)
