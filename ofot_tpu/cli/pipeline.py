@@ -207,10 +207,13 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
 
 def cmd_run(args) -> int:
     from ofot_tpu.cli import data_diff
+    from ofot_tpu.parallel.multihost import partition_keys
 
     data = Path(args.data_root)
     results = Path(args.results)
-    manifest_path = results / "manifest.json"
+    manifest_name = ("manifest.json" if args.host_count == 1
+                     else f"manifest.{args.host_id}.json")
+    manifest_path = results / manifest_name
     manifest = (json.loads(manifest_path.read_text())
                 if manifest_path.exists() else {})
     algos = args.algos.split(",")
@@ -226,7 +229,12 @@ def cmd_run(args) -> int:
         ds = data / ds_name
         out_root = results / ds_name
         out_root.mkdir(parents=True, exist_ok=True)
-        for seq in _sequences(ds):
+        seqs = _sequences(ds)
+        if args.host_count > 1:      # DP over hosts: disjoint sequence sets
+            mine = set(partition_keys([s.name for s in seqs],
+                                      args.host_id, args.host_count))
+            seqs = [s for s in seqs if s.name in mine]
+        for seq in seqs:
             out_dir = out_root / seq.name
             out_dir.mkdir(exist_ok=True)
             frame10 = seq / "frame10.png"
@@ -242,6 +250,15 @@ def cmd_run(args) -> int:
                 entry[algo] = _run_algo(algo, frame10, frame11, out_dir,
                                         extra, ground_truth=gt)
                 manifest_path.write_text(json.dumps(manifest, indent=1))
+    return 0
+
+
+def cmd_merge_manifests(args) -> int:
+    from ofot_tpu.parallel.multihost import merge_manifests
+    results = Path(args.results)
+    shards = sorted(results.glob("manifest.*.json"))
+    merge_manifests(shards, str(results / "manifest.json"))
+    print(f"merged {len(shards)} shards")
     return 0
 
 
@@ -280,7 +297,16 @@ def main(argv=None) -> int:
         r.add_argument("--extra-args", default="",
                        help="extra CLI args appended to every solve "
                             "(later flags override the canonical ones)")
+        r.add_argument("--host-id", type=int, default=0,
+                       help="this host's index for DP sequence sharding")
+        r.add_argument("--host-count", type=int, default=1,
+                       help="total hosts sweeping in parallel")
         r.set_defaults(fn=fn)
+
+    m = sub.add_parser("merge-manifests",
+                       help="merge per-host manifest shards")
+    m.add_argument("--results", default="results")
+    m.set_defaults(fn=cmd_merge_manifests)
 
     args = p.parse_args(argv)
     return args.fn(args)

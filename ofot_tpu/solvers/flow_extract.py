@@ -74,6 +74,7 @@ def integrate_trajectories(un: jnp.ndarray, vn: jnp.ndarray) -> tuple[jnp.ndarra
     return x_end - x0, y_end - y0
 
 
+@jax.jit
 def flow_from_potential(phi: jnp.ndarray):
     """phi (Nt, Ny, Nx) -> (u, v, m) displacement + luminosity fields,
     the full reference ``opticalflow_from_benamoubrenier`` contract."""

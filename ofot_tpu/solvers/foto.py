@@ -170,6 +170,10 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
     prev_crit = state.crit
     done = (crit <= convergence_tol) | (
         (prev_crit >= 0) & (jnp.abs(prev_crit - crit) < 1e-5))
+    # divergence guard (net-new vs reference, SURVEY.md §5 "failure
+    # detection"): a NaN criterion means the solve blew up — stop instead
+    # of burning the remaining iterations on NaNs
+    done = done | jnp.isnan(crit)
 
     if verbose:
         jax.debug.print("{c} ({i}/{m})", c=crit, i=state.iteration + 1,

@@ -112,6 +112,18 @@ class TestGspmd:
         np.testing.assert_allclose(np.asarray(sharded.phi),
                                    np.asarray(whole.phi), atol=1e-8)
 
+    def test_foto_gspmd_dct_sharded_equals_whole(self, mesh4):
+        """Spectral stepA under GSPMD tiling: the DCT transforms become
+        sharded matmuls (XLA inserts the collectives)."""
+        f1, f2 = fixtures.translating_square(24)
+        kw = dict(r=1.0, convergence_tol=1e-6, reg_epsilon=1e-2, max_it=6,
+                  ops=foto.DCT_OPS)
+        whole = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4, **kw)
+        sharded = gspmd.solve_foto_sharded(
+            jnp.asarray(f1), jnp.asarray(f2), 4, mesh4, **kw)
+        np.testing.assert_allclose(np.asarray(sharded.phi),
+                                   np.asarray(whole.phi), atol=1e-8)
+
     def test_gn_gspmd_sharded_equals_whole(self, mesh4):
         f1, f2 = fixtures.smooth_blob_pair(16, 24)
         whole = gn.solve_fields(jnp.asarray(f1), jnp.asarray(f2))
