@@ -55,6 +55,8 @@ def main() -> int:
     p.add_argument("--platform", help="force JAX platform")
     p.add_argument("--cg-rtol", type=float, default=1e-6)
     p.add_argument("--cg-maxiter", type=int, default=1000)
+    p.add_argument("--algo", choices=["foto", "GN"], default="foto",
+                   help="GN benchmarks the full variational solve instead")
     args = p.parse_args()
 
     import jax
@@ -66,6 +68,9 @@ def main() -> int:
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+
+    if args.algo == "GN":
+        return bench_gn(args)
 
     f1, f2 = blob_pair(args.ny, args.nx, np.float32)
     # mass-normalize the pair (the OT problem's well-posed form,
@@ -127,6 +132,38 @@ def main() -> int:
         "value": round(rate, 1),
         "unit": "grid-point-iterations/s",
         "vs_baseline": round(rate / BASELINE_PTS_PER_S, 2),
+    }))
+    return 0
+
+
+def bench_gn(args) -> int:
+    """Full GN solve at 320x240 vs the reference's measured 11.85 s
+    (1.43 s assemble + 10.42 s spsolve, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from ofot_tpu.solvers import gn
+
+    BASELINE_GN_S = 1.43 + 10.42
+    f1, f2 = blob_pair(args.ny, args.nx, np.float32)
+    a, b = jnp.asarray(f1), jnp.asarray(f2)
+
+    run = jax.jit(lambda p, q: gn.solve_fields(p, q, 0.1, 0.2, rtol=1e-7))
+    t0 = time.time()
+    r = jax.block_until_ready(run(a, b))
+    print(f"compile+first: {time.time() - t0:.1f}s  iters "
+          f"{int(r.cg.iterations)} converged {bool(r.cg.converged)}",
+          file=sys.stderr)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.time()
+        jax.block_until_ready(run(a, b))
+        best = min(best, time.time() - t0)
+    print(f"best wall: {best:.4f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "gn_solve_seconds_320x240",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_GN_S / best, 2),   # speedup
     }))
     return 0
 
