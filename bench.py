@@ -144,7 +144,11 @@ def bench_gn(args) -> int:
     from ofot_tpu.solvers import gn
 
     BASELINE_GN_S = 1.43 + 10.42
-    f1, f2 = blob_pair(args.ny, args.nx, np.float32)
+    # textured pair (GN's realistic regime — smooth blobs converge in a
+    # handful of PCG iterations and would overstate the speedup)
+    y, x = np.mgrid[0:args.ny, 0:args.nx].astype(np.float32)
+    f1 = (np.sin(x / 7.0) + np.cos(y / 5.0) + np.sin((x + y) / 11.0) + 3) / 6
+    f2 = np.roll(np.roll(f1, 2, axis=0), 3, axis=1)
     a, b = jnp.asarray(f1), jnp.asarray(f2)
 
     run = jax.jit(lambda p, q: gn.solve_fields(p, q, 0.1, 0.2, rtol=1e-7))
