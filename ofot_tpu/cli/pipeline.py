@@ -206,6 +206,8 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
 
 
 def cmd_run(args) -> int:
+    if getattr(args, "batch", False):
+        return cmd_run_batch(args)
     from ofot_tpu.cli import data_diff
     from ofot_tpu.parallel.multihost import partition_keys
 
@@ -249,6 +251,116 @@ def cmd_run(args) -> int:
                 print(f"== {ds_name}/{seq.name} [{algo}] ==", flush=True)
                 entry[algo] = _run_algo(algo, frame10, frame11, out_dir,
                                         extra, ground_truth=gt)
+                manifest_path.write_text(json.dumps(manifest, indent=1))
+    return 0
+
+
+def _batched_params(extra: str):
+    """Parse the subset of CLI overrides that apply to batched solves."""
+    foto_params = dict(Nt=16, r=1.0, convergence_tol=0.01,
+                       reg_epsilon=1e-2, max_it=200)
+    gn_params = dict(alpha=0.1, lambda_=0.2)
+    key_map = {"Nt": ("foto", "Nt", int), "r": ("foto", "r", float),
+               "convergence-tol": ("foto", "convergence_tol", float),
+               "reg-epsilon": ("foto", "reg_epsilon", float),
+               "max-it": ("foto", "max_it", int),
+               "alpha": ("gn", "alpha", float),
+               "lambdaa": ("gn", "lambda_", float)}
+    for tok in (extra or "").split():
+        if not tok.startswith("--") or "=" not in tok:
+            continue
+        k, v = tok[2:].split("=", 1)
+        if k in key_map:
+            which, name, cast = key_map[k]
+            (foto_params if which == "foto" else gn_params)[name] = cast(v)
+    return foto_params, gn_params
+
+
+def cmd_run_batch(args) -> int:
+    """Batched sweep: all same-shape sequences of a dataset solved in one
+    jitted call (vmap, batch axis shardable over devices) — the
+    TPU-efficient form of the per-sequence loop."""
+    import time as _time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ofot_tpu.cli import data_diff
+    from ofot_tpu.parallel import sweep as sweep_mod
+    from ofot_tpu.parallel.mesh import make_mesh
+    from ofot_tpu.utils import image as img, flo as flo_mod, metrics, warp
+    from ofot_tpu.utils.colorwheel import flow_to_png
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    data = Path(args.data_root)
+    results = Path(args.results)
+    manifest_path = results / "manifest.json"
+    manifest = (json.loads(manifest_path.read_text())
+                if manifest_path.exists() else {})
+    foto_params, gn_params = _batched_params(args.extra_args)
+    mesh = (make_mesh({"data": args.data_parallel})
+            if args.data_parallel > 1 else None)
+
+    for ds_name in args.datasets.split(","):
+        ds = data / ds_name
+        out_root = results / ds_name
+        out_root.mkdir(parents=True, exist_ok=True)
+        loaded = []
+        for seq in _sequences(ds):
+            out_dir = out_root / seq.name
+            out_dir.mkdir(exist_ok=True)
+            f1, w, h = img.open_grayscale(str(seq / "frame10.png"))
+            f2, w, h = img.open_grayscale(str(seq / "frame11.png"))
+            data_diff.main([str(seq / "frame10.png"),
+                            str(seq / "frame11.png"),
+                            str(out_dir / "diff.png")])
+            loaded.append((seq.name, np.float32(f1), np.float32(f2)))
+
+        for algo in args.algos.split(","):
+            pending = [(k, a, b) for k, a, b in loaded
+                       if not (out_root / k /
+                               f".out.{algo.lower()}.sucess").exists()]
+            for shape, group in sweep_mod.group_by_shape(pending).items():
+                keys = [k for k, _, _ in group]
+                f1s = np.stack([a for _, a, _ in group])
+                f2s = np.stack([b for _, _, b in group])
+                dp = mesh.shape["data"] if mesh is not None else 1
+                f1s, n = sweep_mod._pad_batch(f1s, dp)
+                f2s, _ = sweep_mod._pad_batch(f2s, dp)
+                print(f"== batch {ds_name} [{algo}] shape={shape} "
+                      f"n={n} ==", flush=True)
+                t0 = _time.time()
+                u, v, m, diag = sweep_mod.solve_batch_full(
+                    "foto" if algo == "foto" else "GN", f1s, f2s, mesh,
+                    foto_params=foto_params, gn_params=gn_params)
+                jax.block_until_ready(u)
+                wall = _time.time() - t0
+                rec = jax.vmap(warp.apply_flow)(
+                    jnp.asarray(f1s), u, v, m)
+                rec = np.clip(np.asarray(rec), 0, 1)
+                u, v, m = np.asarray(u), np.asarray(v), np.asarray(m)
+
+                for i, key in enumerate(keys[:n]):
+                    out_dir = out_root / key
+                    h, w = shape
+                    pre = out_dir / algo.lower()
+                    flo_mod.write_flo(w, h, u[i].ravel(), v[i].ravel(),
+                                      f"{pre}.flo")
+                    ie = metrics.IE(w, h, rec[i], f2s[i])
+                    with open(f"{pre}.benchmark.txt", "w") as f:
+                        f.write("IE: " + str(ie) + "\n")
+                        f.write("time: " + str(wall / n) + "s")
+                    img.save_grayscale(rec[i], f"{pre}.rec.png")
+                    img.save_grayscale((m[i] + 1) / 2, f"{pre}.lum.png")
+                    color_flow(Path(f"{pre}.flo"), Path(f"{pre}.png"))
+                    (out_dir / f".out.{algo.lower()}.sucess").touch()
+                    entry = manifest.setdefault(f"{ds_name}/{key}", {})
+                    entry[algo] = {"algo": algo, "status": "ok",
+                                   "wall_s": wall / n, "batched": True,
+                                   "batch_size": int(n)}
                 manifest_path.write_text(json.dumps(manifest, indent=1))
     return 0
 
@@ -301,6 +413,12 @@ def main(argv=None) -> int:
                        help="this host's index for DP sequence sharding")
         r.add_argument("--host-count", type=int, default=1,
                        help="total hosts sweeping in parallel")
+        r.add_argument("--batch", action="store_true",
+                       help="solve all same-shape sequences as one batched "
+                            "jitted call instead of per-sequence")
+        r.add_argument("--data-parallel", type=int, default=1,
+                       help="shard the batch axis over this many devices "
+                            "(batch mode)")
         r.set_defaults(fn=fn)
 
     m = sub.add_parser("merge-manifests",

@@ -71,6 +71,48 @@ def solve_gn_batch(f1s, f2s, mesh: Mesh | None = None,
     return fn(f1s, f2s)
 
 
+def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
+                     foto_params: dict | None = None,
+                     gn_params: dict | None = None):
+    """Batched end-to-end solve -> (u, v, m) stacks plus diagnostics.
+
+    One jitted program per shape group: solver + flow extraction vmapped
+    over the batch, batch axis shardable over ``data``.  This is the
+    TPU-efficient form of the reference's sequential run.sh loop.
+    """
+    from ofot_tpu.solvers import flow_extract
+
+    f1s = jnp.asarray(f1s)
+    f2s = jnp.asarray(f2s)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("data"))
+        f1s = jax.device_put(f1s, sh)
+        f2s = jax.device_put(f2s, sh)
+
+    if algo == "foto":
+        fp = dict(foto_params or {})
+        Nt = fp.pop("Nt", 16)
+
+        @jax.jit
+        def run(a, b):
+            st = jax.vmap(lambda p, q: foto.solve_potential(p, q, Nt, **fp))(a, b)
+            u, v, m = jax.vmap(flow_extract.flow_from_potential)(st.phi)
+            return u, v, m, {"iterations": st.iteration,
+                             "inner_iterations": st.cg_iterations,
+                             "crit": st.crit}
+        return run(f1s, f2s)
+
+    gp = dict(gn_params or {})
+
+    @jax.jit
+    def run(a, b):
+        res = jax.vmap(lambda p, q: gn.solve_fields(p, q, **gp))(a, b)
+        return res.u, res.v, res.m, {
+            "inner_iterations": res.cg.iterations,
+            "converged": res.cg.converged}
+    return run(f1s, f2s)
+
+
 def sweep_foto(pairs, Nt: int, mesh: Mesh | None = None, **kw):
     """Full heterogeneous sweep: group by shape, batch-solve each group,
     return {key: FotoState-slice} in the input order of each group."""
