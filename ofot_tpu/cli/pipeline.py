@@ -265,7 +265,8 @@ def _batched_params(extra: str):
                "reg-epsilon": ("foto", "reg_epsilon", float),
                "max-it": ("foto", "max_it", int),
                "alpha": ("gn", "alpha", float),
-               "lambdaa": ("gn", "lambda_", float)}
+               "lambdaa": ("gn", "lambda_", float),
+               "stepA-solver": ("foto", "stepA_solver", str)}
     for tok in (extra or "").split():
         if not tok.startswith("--") or "=" not in tok:
             continue

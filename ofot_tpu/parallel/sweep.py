@@ -92,6 +92,10 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
     if algo == "foto":
         fp = dict(foto_params or {})
         Nt = fp.pop("Nt", 16)
+        solver = fp.pop("stepA_solver", "cg")
+        if solver != "cg":
+            fp["ops"] = (foto.PALLAS_OPS if solver == "pallas"
+                         else foto.DCT_OPS)
 
         @jax.jit
         def run(a, b):
