@@ -117,8 +117,9 @@ class ShardedOps:
 
     @property
     def axes(self):
-        return tuple(a for a, s in ((self.ax_y, self.size_y),
-                                    (self.ax_x, self.size_x)) if s > 1)
+        """All mesh axis names — psum must run over size-1 axes too so the
+        result is typed invariant (vma) under shard_map."""
+        return (self.ax_y, self.ax_x)
 
     def grad_st(self, phi, dt=1.0, dx=1.0, dy=1.0, bc="N"):
         gt = stencils.grad_central_weird(phi, dt, bc, axis=-3)

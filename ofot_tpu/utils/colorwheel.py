@@ -67,6 +67,26 @@ def compute_color(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return (255.0 * col).astype(np.uint8)
 
 
+def compute_color_jax(u, v):
+    """On-device twin of :func:`compute_color` (jnp; normalized flow in,
+    uint8 RGB out) — lets the sweep colorize flows without leaving HBM."""
+    import jax.numpy as jnp
+
+    wheel = jnp.asarray(_WHEEL)
+    rad = jnp.sqrt(u * u + v * v)
+    a = jnp.arctan2(-v, -u) / jnp.pi
+    fk = (a + 1.0) / 2.0 * (NCOLS - 1)
+    k0 = fk.astype(jnp.int32)
+    k1 = (k0 + 1) % NCOLS
+    f = fk - k0
+    col0 = wheel[k0] / 255.0
+    col1 = wheel[k1] / 255.0
+    col = (1.0 - f[..., None]) * col0 + f[..., None] * col1
+    col = jnp.where(rad[..., None] <= 1.0,
+                    1.0 - rad[..., None] * (1.0 - col), col * 0.75)
+    return (255.0 * col).astype(jnp.uint8)
+
+
 def motion_to_color(u: np.ndarray, v: np.ndarray,
                     maxmotion: float | None = None):
     """Full color_flow behavior: find max motion radius over known pixels,
