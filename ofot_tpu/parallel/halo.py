@@ -99,6 +99,40 @@ def grad_central_halo(f, h, bc, axis, ax_name, ax_size):
     return out
 
 
+def grad_forward_halo(f, h, bc, axis, ax_name, ax_size):
+    """Distributed ``stencils.grad_forward`` ('N': global-last row zero)."""
+    out = (_halo_shift(f, 1, axis, ax_name, ax_size) - f) / h
+    if bc == "N":
+        zero = jnp.zeros_like(_index(f, -1, axis))
+        if ax_size == 1:
+            return _set(out, -1, axis, zero)
+        is_hi = lax.axis_index(ax_name) == ax_size - 1
+        return _set(out, -1, axis,
+                    jnp.where(is_hi, zero, _index(out, -1, axis)))
+    return out
+
+
+def grad_forward_adjoint_halo(f, h, bc, axis, ax_name, ax_size):
+    """Distributed ``stencils.grad_forward_adjoint``."""
+    if bc == "N":
+        zero = jnp.zeros_like(_index(f, -1, axis))
+        if ax_size == 1:
+            f = _set(f, -1, axis, zero)
+        else:
+            is_hi = lax.axis_index(ax_name) == ax_size - 1
+            f = _set(f, -1, axis,
+                     jnp.where(is_hi, zero, _index(f, -1, axis)))
+    return (_halo_shift(f, -1, axis, ax_name, ax_size) - f) / h
+
+
+def grad_central_d_halo(f, h, axis, ax_name, ax_size):
+    """Distributed ``stencils.grad_central`` with bc='D' (plain truncated
+    central stencil — the zero ghost at the global edge is exactly what
+    ppermute delivers to edge tiles)."""
+    return (_halo_shift(f, 1, axis, ax_name, ax_size)
+            - _halo_shift(f, -1, axis, ax_name, ax_size)) / (2.0 * h)
+
+
 # ------------------------------------------------------------------ context
 
 @dataclass(frozen=True)

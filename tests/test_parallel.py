@@ -102,6 +102,28 @@ class TestTiledFoto:
                 jnp.zeros((7, 8)), jnp.zeros((7, 8)), 4, mesh4)
 
 
+class TestTiledGN:
+    def test_tiled_gn_equals_single_device(self, mesh4):
+        from ofot_tpu.parallel import gn_sharded
+        f1, f2 = fixtures.smooth_blob_pair(16, 24)
+        whole = gn.solve_fields(jnp.asarray(f1), jnp.asarray(f2),
+                                precond="jacobi", rtol=1e-12)
+        tiled = gn_sharded.solve_fields_tiled(
+            jnp.asarray(f1), jnp.asarray(f2), mesh4, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(tiled.u), np.asarray(whole.u),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(tiled.v), np.asarray(whole.v),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(tiled.m), np.asarray(whole.m),
+                                   atol=1e-8)
+
+    def test_tiled_gn_shape_validation(self, mesh4):
+        from ofot_tpu.parallel import gn_sharded
+        with pytest.raises(ValueError):
+            gn_sharded.solve_fields_tiled(jnp.zeros((7, 8)),
+                                          jnp.zeros((7, 8)), mesh4)
+
+
 class TestGspmd:
     def test_foto_gspmd_sharded_equals_whole(self, mesh4):
         f1, f2 = fixtures.translating_square(24)
