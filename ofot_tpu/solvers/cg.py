@@ -14,10 +14,8 @@ supplied ``reduce`` hook, becomes a `lax.psum`-style cross-device reduction
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -82,9 +80,3 @@ def cg(A: Callable, b: jnp.ndarray, *,
 
     return CGResult(x=x, iterations=k, residual=jnp.sqrt(rnorm2),
                     converged=rnorm2 <= thresh2)
-
-
-@partial(jax.jit, static_argnums=(0,))
-def cg_jit(A, b, rtol=1e-6, maxiter=1000):
-    """Convenience jitted entry for a static operator callable."""
-    return cg(A, b, rtol=rtol, maxiter=maxiter)
