@@ -64,14 +64,37 @@ def _ground_truth_flo(dataset_dir: Path, seq_name: str) -> Path | None:
     return gt if gt.exists() else None
 
 
-def color_flow(flo_path: Path, png_path: Path) -> None:
-    """Colorize a .flo: native C++ tool when built, Python twin otherwise."""
+def color_flow(flo_path: Path, png_path: Path,
+               maxmotion: float | None = None) -> None:
+    """Colorize a .flo: native C++ tool when built, Python twin otherwise.
+
+    ``maxmotion`` pins the color scale — used for the middlebury-2
+    ground-truth-normalized visualizations (reference README.md:146: "Ground
+    truth normalization is computed and applied only when ground truth .flo
+    files exist"), so computed and GT flows share a comparable color wheel.
+    """
     if _NATIVE_COLOR_FLOW.exists():
-        subprocess.run([str(_NATIVE_COLOR_FLOW), "-quiet", str(flo_path),
-                        str(png_path)], check=True)
+        cmd = [str(_NATIVE_COLOR_FLOW), "-quiet", str(flo_path),
+               str(png_path)]
+        if maxmotion is not None:
+            cmd.append(str(maxmotion))
+        subprocess.run(cmd, check=True)
     else:
         from ofot_tpu.utils.colorwheel import flow_to_png
-        flow_to_png(str(flo_path), str(png_path))
+        flow_to_png(str(flo_path), str(png_path), maxmotion=maxmotion)
+
+
+def _gt_maxmotion(gt_flo: Path) -> float:
+    """Max motion radius of a ground-truth flow (unknown pixels excluded)."""
+    import numpy as np
+    from ofot_tpu.utils import flo as flo_mod
+    from ofot_tpu.utils.colorwheel import UNKNOWN_FLOW_THRESH
+
+    w, h, u, v = flo_mod.read_flo(str(gt_flo))
+    known = (np.abs(u) < UNKNOWN_FLOW_THRESH) & (np.abs(v) < UNKNOWN_FLOW_THRESH)
+    if not known.any():
+        return 1.0
+    return float(np.sqrt(u[known] ** 2 + v[known] ** 2).max())
 
 
 # ---------------------------------------------------------------- download
@@ -178,7 +201,8 @@ def _normalize_dataset(dataset_dir: Path) -> None:
 # ---------------------------------------------------------------- run
 
 def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
-              extra_cli: list[str], ground_truth: Path | None = None) -> dict:
+              extra_cli: list[str], ground_truth: Path | None = None,
+              maxmotion: float | None = None) -> dict:
     """One main.py invocation's worth of work, in-process."""
     from ofot_tpu.cli import main as cli_main
 
@@ -200,7 +224,8 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
     wall = time.time() - t0
     if rc != 0:
         return {"algo": algo, "status": "failed", "rc": rc}
-    color_flow(out_dir / f"{algo.lower()}.flo", out_dir / f"{algo.lower()}.png")
+    color_flow(out_dir / f"{algo.lower()}.flo",
+               out_dir / f"{algo.lower()}.png", maxmotion)
     flag.touch()
     return {"algo": algo, "status": "ok", "wall_s": wall}
 
@@ -244,13 +269,15 @@ def cmd_run(args) -> int:
             data_diff.main([str(frame10), str(frame11),
                             str(out_dir / "diff.png")])
             gt = _ground_truth_flo(ds, seq.name)
+            maxmotion = _gt_maxmotion(gt) if gt is not None else None
             if gt is not None and not (out_dir / "flow10.png").exists():
-                color_flow(gt, out_dir / "flow10.png")   # GT visualization
+                color_flow(gt, out_dir / "flow10.png", maxmotion)
             entry = manifest.setdefault(f"{ds_name}/{seq.name}", {})
             for algo in algos:
                 print(f"== {ds_name}/{seq.name} [{algo}] ==", flush=True)
                 entry[algo] = _run_algo(algo, frame10, frame11, out_dir,
-                                        extra, ground_truth=gt)
+                                        extra, ground_truth=gt,
+                                        maxmotion=maxmotion)
                 manifest_path.write_text(json.dumps(manifest, indent=1))
     return 0
 
