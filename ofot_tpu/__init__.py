@@ -19,3 +19,5 @@ Design principles (see SURVEY.md §7):
 __version__ = "0.1.0"
 
 from ofot_tpu import ops, solvers, utils, parallel  # noqa: F401
+from ofot_tpu.solvers.foto import solve as solve_foto  # noqa: F401
+from ofot_tpu.solvers.gn import solve_fields as solve_gn  # noqa: F401

@@ -111,7 +111,13 @@ def cmd_download(args) -> int:
         zip_path = str(data / "eval-gray-twoframes.zip")
         import urllib.request
         print(f"downloading {MIDDLEBURY_URL} ...")
-        urllib.request.urlretrieve(MIDDLEBURY_URL, zip_path)
+        try:
+            urllib.request.urlretrieve(MIDDLEBURY_URL, zip_path)
+        except OSError as e:
+            print(f"download failed ({e}); in offline environments fetch "
+                  f"{MIDDLEBURY_URL} elsewhere and pass --local-zip",
+                  file=sys.stderr)
+            return 1
     with zipfile.ZipFile(zip_path) as z:
         members = [m for m in z.namelist() if m.startswith("eval-data-gray/")]
         z.extractall(mb1, members=members)
