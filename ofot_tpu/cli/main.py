@@ -157,6 +157,18 @@ def main(argv=None) -> int:
         solver_stats = {"inner_iterations": int(res.cg.iterations),
                         "residual": float(res.cg.residual),
                         "converged": bool(res.cg.converged)}
+    elif args.algo == "HS":
+        # framework extension: classic Horn-Schunck (no luminosity field)
+        print(" - algorithm: HS")
+        print(f"\t - alpha={args.alpha}")
+        from ofot_tpu.solvers import hs
+        res = hs.solve_fields(rho1_d, rho2_d, args.alpha)
+        jax.block_until_ready(res.u)
+        u, v = np.asarray(res.u), np.asarray(res.v)
+        m = np.zeros_like(u)
+        solver_stats = {"inner_iterations": int(res.cg.iterations),
+                        "residual": float(res.cg.residual),
+                        "converged": bool(res.cg.converged)}
     else:
         print(f"ERROR: unknown --algo '{args.algo}' (expected foto or GN)",
               file=sys.stderr)
