@@ -1,3 +1,5 @@
-"""Solvers: matrix-free CG core, GN variational flow, FOTO ALG2 transport."""
+"""Solvers: matrix-free CG core, GN/HS variational flow, FOTO ALG2
+transport, spectral (DCT) solves, pyramid coarse-to-fine, implicit diff."""
 
-from ofot_tpu.solvers import cg, gn, foto, flow_extract  # noqa: F401
+from ofot_tpu.solvers import (  # noqa: F401
+    cg, gn, hs, foto, flow_extract, dct, pyramid, implicit)

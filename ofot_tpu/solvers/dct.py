@@ -47,9 +47,18 @@ def _neumann_eigenvalues_np(n: int) -> np.ndarray:
 
 
 def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Apply an (n, n) transform matrix along one axis of a 3-D field."""
+    """Apply an (n, n) transform matrix along one axis of a 3-D field.
+
+    Precision.HIGHEST is load-bearing on TPU: the MXU's default matmul
+    precision multiplies in bf16, which degrades the cosine transforms to
+    ~1e-2 relative error and stalls ALG2 convergence around crit~0.4
+    (observed on v5e); HIGHEST forces full-f32 (6-pass) multiplication.
+    """
+    import jax
+
     x = jnp.moveaxis(x, axis, -1)
-    y = jnp.matmul(x, mat.T, preferred_element_type=x.dtype)
+    y = jnp.matmul(x, mat.T, preferred_element_type=x.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(y, -1, axis)
 
 
