@@ -102,15 +102,20 @@ def main() -> int:
         return run
 
     def time_run(run):
+        # NOTE: time via an actual host read (float()) — on this
+        # experimental remote platform block_until_ready can return
+        # without waiting for scalar outputs
         t0 = time.time()
-        crit, inner = jax.block_until_ready(run(rho0, rhoT))
+        crit, inner = run(rho0, rhoT)
+        crit = float(crit)
         compile_s = time.time() - t0
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.time()
-            jax.block_until_ready(run(rho0, rhoT))
+            c, i = run(rho0, rhoT)
+            float(c), int(i)
             best = min(best, time.time() - t0)
-        return best, float(crit), int(inner), compile_s
+        return best, crit, int(inner), compile_s
 
     # primary: spectral stepA (the TPU-native fast path)
     best, crit, inner, comp = time_run(make_run(foto.DCT_OPS))
@@ -156,14 +161,16 @@ def bench_gn(args) -> int:
 
     run = jax.jit(lambda p, q: gn.solve_fields(p, q, 0.1, 0.2, rtol=1e-7))
     t0 = time.time()
-    r = jax.block_until_ready(run(a, b))
+    r = run(a, b)
+    _ = float(r.cg.residual)          # force host read (see time_run note)
     print(f"compile+first: {time.time() - t0:.1f}s  iters "
           f"{int(r.cg.iterations)} converged {bool(r.cg.converged)}",
           file=sys.stderr)
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.time()
-        jax.block_until_ready(run(a, b))
+        rr = run(a, b)
+        float(rr.cg.residual), float(rr.u[0, 0])
         best = min(best, time.time() - t0)
     print(f"best wall: {best:.4f}s", file=sys.stderr)
     print(json.dumps({
