@@ -140,8 +140,13 @@ def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter,
     rho, a = mu[0], q[0]
     g0 = rho0 - rho[0] + r * a[0]
     gN = rhoT - rho[-1] + r * a[-1]
-    F = F.at[0].add(-(1.0 / dt) * g0)
-    F = F.at[-1].add((1.0 / dt) * gN)
+    # boundary-slice adds expressed as masked full-field adds: they fuse
+    # into the div_st pass instead of costing dynamic-update-slices
+    # (profiled at ~18% of device time per ALG2 iteration)
+    Nt = F.shape[0]
+    t_idx = lax.broadcasted_iota(jnp.int32, F.shape, 0)
+    F = F + jnp.where(t_idx == 0, -(1.0 / dt) * g0[None], 0.0)
+    F = F + jnp.where(t_idx == Nt - 1, (1.0 / dt) * gN[None], 0.0)
 
     return ops.stepA_solve(F, r, reg_epsilon, cg_rtol, cg_maxiter)
 
@@ -159,7 +164,10 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
     q = ops.project(grad_phi + mu / r)
 
     mu = mu + r * (grad_phi - q)
-    mu = mu.at[0].set(jnp.maximum(mu[0], 0.0))   # density positivity
+    # density positivity as a masked select over the whole stack (fuses
+    # into the update above; no dynamic-update-slice)
+    comp = lax.broadcasted_iota(jnp.int32, mu.shape, 0)
+    mu = jnp.where(comp == 0, jnp.maximum(mu, 0.0), mu)
 
     # Hamilton–Jacobi residual criterion (reference benamou_brenier.py:246-251)
     res = grad_phi[0] + 0.5 * (grad_phi[1] ** 2 + grad_phi[2] ** 2)
