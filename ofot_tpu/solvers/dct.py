@@ -46,6 +46,45 @@ def _neumann_eigenvalues_np(n: int) -> np.ndarray:
     return 2.0 * np.cos(np.pi * k / n) - 2.0
 
 
+# Above this size the (n, n) cosine matrix is generated on device instead
+# of being baked into the program as a constant (a 3840^2 f32 constant is
+# ~59 MB of program blob — brutal for compile time / program shipping).
+_DEVICE_GEN_THRESHOLD = 512
+
+
+def _dct_matrix_jnp(n: int, dtype, transpose: bool = False) -> jnp.ndarray:
+    """On-device DCT-II matrix via exact integer angle reduction.
+
+    The angle pi*k*(2i+1)/(2n) grows to ~pi*n, where f32 argument reduction
+    in cos() loses ~n*eps radians; reducing k*(2i+1) mod 4n in int32 first
+    (exact: products < 2^31 for any practical n) keeps every angle in
+    [0, 2*pi) so f32 cos is accurate to ~1e-7 at any n.
+    """
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    if transpose:
+        k, i = i, k
+    phase = (k * (2 * i + 1)) % (4 * n)
+    ang = (jnp.pi / (2.0 * n)) * phase.astype(dtype)
+    C = jnp.sqrt(jnp.asarray(2.0 / n, dtype)) * jnp.cos(ang)
+    scale0 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype))
+    # after the transpose swap, `k` still holds the frequency index, which
+    # is the one the DC row scaling follows
+    return jnp.where(k == 0, C * scale0, C)
+
+
+def _analysis_matrix(n: int, dtype) -> jnp.ndarray:
+    if n > _DEVICE_GEN_THRESHOLD:
+        return _dct_matrix_jnp(n, dtype)
+    return jnp.asarray(_dct_matrix_np(n), dtype)
+
+
+def _synthesis_matrix(n: int, dtype) -> jnp.ndarray:
+    if n > _DEVICE_GEN_THRESHOLD:
+        return _dct_matrix_jnp(n, dtype, transpose=True)
+    return jnp.asarray(_dct_matrix_np(n).T, dtype)
+
+
 def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Apply an (n, n) transform matrix along one axis of a 3-D field.
 
@@ -67,7 +106,7 @@ def dct3(x: jnp.ndarray) -> jnp.ndarray:
     Nt, Ny, Nx = x.shape[-3:]
     dtype = x.dtype
     for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
-        x = _transform(x, jnp.asarray(_dct_matrix_np(n), dtype), axis)
+        x = _transform(x, _analysis_matrix(n, dtype), axis)
     return x
 
 
@@ -76,7 +115,7 @@ def idct3(x: jnp.ndarray) -> jnp.ndarray:
     Nt, Ny, Nx = x.shape[-3:]
     dtype = x.dtype
     for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
-        x = _transform(x, jnp.asarray(_dct_matrix_np(n).T, dtype), axis)
+        x = _transform(x, _synthesis_matrix(n, dtype), axis)
     return x
 
 
@@ -92,10 +131,19 @@ def stepA_spectrum(Nt: int, Ny: int, Nx: int, r: float, reg_epsilon: float,
 @partial(jax.jit, static_argnames=("r", "reg_epsilon"))
 def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
                     reg_epsilon: float = 1e-2) -> jnp.ndarray:
-    """Exact solve of ``(-r*L_st + r*eps*I) phi = F`` via 3-D DCT."""
+    """Exact solve of ``(-r*L_st + r*eps*I) phi = F`` via 3-D DCT.
+
+    The spectrum is assembled in-graph from three 1-D eigenvalue vectors
+    (a dense (Nt, Ny, Nx) constant would be a quarter-GB program blob at
+    4K resolution); the broadcast add fuses into the divide.
+    """
     Nt, Ny, Nx = F.shape[-3:]
-    spec = jnp.asarray(stepA_spectrum(Nt, Ny, Nx, r, reg_epsilon,
-                                      np.dtype(F.dtype)))
+    dtype = np.dtype(F.dtype)
+    lt = jnp.asarray(_neumann_eigenvalues_np(Nt).astype(dtype))
+    ly = jnp.asarray(_neumann_eigenvalues_np(Ny).astype(dtype))
+    lx = jnp.asarray(_neumann_eigenvalues_np(Nx).astype(dtype))
+    spec = (-r * (lt[:, None, None] + ly[None, :, None] + lx[None, None, :])
+            + r * reg_epsilon)
     return idct3(dct3(F) / spec)
 
 
@@ -105,15 +153,15 @@ def dct2(x: jnp.ndarray) -> jnp.ndarray:
     """Separable orthonormal DCT-II over the trailing (Ny, Nx) axes."""
     Ny, Nx = x.shape[-2:]
     dtype = x.dtype
-    x = _transform(x, jnp.asarray(_dct_matrix_np(Ny), dtype), -2)
-    return _transform(x, jnp.asarray(_dct_matrix_np(Nx), dtype), -1)
+    x = _transform(x, _analysis_matrix(Ny, dtype), -2)
+    return _transform(x, _analysis_matrix(Nx, dtype), -1)
 
 
 def idct2(x: jnp.ndarray) -> jnp.ndarray:
     Ny, Nx = x.shape[-2:]
     dtype = x.dtype
-    x = _transform(x, jnp.asarray(_dct_matrix_np(Ny).T, dtype), -2)
-    return _transform(x, jnp.asarray(_dct_matrix_np(Nx).T, dtype), -1)
+    x = _transform(x, _synthesis_matrix(Ny, dtype), -2)
+    return _transform(x, _synthesis_matrix(Nx, dtype), -1)
 
 
 def neg_lap2d_spectrum(Ny: int, Nx: int, dtype=np.float64) -> np.ndarray:
