@@ -29,6 +29,17 @@ def test_dct_diagonalizes_neumann_laplacian():
                                    dct._neumann_eigenvalues_np(n), atol=1e-12)
 
 
+def test_device_generated_matrices_match_host():
+    """Large-n on-device cosine matrices (int32 angle reduction) == the
+    host f64 matrices to f32 roundoff."""
+    for n in (513, 1024):
+        dev = np.asarray(dct._dct_matrix_jnp(n, jnp.float32))
+        host = dct._dct_matrix_np(n).astype(np.float32)
+        assert np.abs(dev - host).max() < 5e-8
+        devT = np.asarray(dct._dct_matrix_jnp(n, jnp.float32, transpose=True))
+        assert np.abs(devT - host.T).max() < 5e-8
+
+
 def test_stepA_dct_solves_exactly():
     Nt, Ny, Nx = 4, 6, 9
     r, eps = 1.0, 1e-2
