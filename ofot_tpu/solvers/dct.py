@@ -70,7 +70,11 @@ def _dct_matrix_jnp(n: int, dtype, transpose: bool = False) -> jnp.ndarray:
     scale0 = 1.0 / jnp.sqrt(jnp.asarray(2.0, dtype))
     # after the transpose swap, `k` still holds the frequency index, which
     # is the one the DC row scaling follows
-    return jnp.where(k == 0, C * scale0, C)
+    C = jnp.where(k == 0, C * scale0, C)
+    # keep the generation at runtime: without the barrier XLA constant-folds
+    # the n^2 cos() evaluations in its (slow) compile-time evaluator, which
+    # blows compile time up at 4K-sized n
+    return jax.lax.optimization_barrier(C)
 
 
 def _analysis_matrix(n: int, dtype) -> jnp.ndarray:
