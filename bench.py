@@ -60,6 +60,9 @@ def main() -> int:
     p.add_argument("--cg-maxiter", type=int, default=1000)
     p.add_argument("--algo", choices=["foto", "GN"], default="foto",
                    help="GN benchmarks the full variational solve instead")
+    p.add_argument("--with-cg", action="store_true",
+                   help="also time the reference-faithful CG stepA path "
+                        "(extra compile; stderr only)")
     args = p.parse_args()
 
     import jax
@@ -123,14 +126,15 @@ def main() -> int:
           f"({best / iters * 1e3:.2f} ms/iter)  crit={crit:.4f}",
           file=sys.stderr)
     # secondary: reference-faithful CG stepA, for the record
-    try:
-        best_cg, crit_cg, inner_cg, comp_cg = time_run(
-            make_run(foto.DEFAULT_OPS))
-        print(f"[cg ] compile {comp_cg:.1f}s  best {best_cg:.3f}s "
-              f"({best_cg / iters * 1e3:.2f} ms/iter)  crit={crit_cg:.4f} "
-              f" cg_iters={inner_cg}", file=sys.stderr)
-    except Exception as e:         # pragma: no cover
-        print(f"[cg ] failed: {e}", file=sys.stderr)
+    if args.with_cg:
+        try:
+            best_cg, crit_cg, inner_cg, comp_cg = time_run(
+                make_run(foto.DEFAULT_OPS))
+            print(f"[cg ] compile {comp_cg:.1f}s  best {best_cg:.3f}s "
+                  f"({best_cg / iters * 1e3:.2f} ms/iter)  crit={crit_cg:.4f}"
+                  f"  cg_iters={inner_cg}", file=sys.stderr)
+        except Exception as e:     # pragma: no cover
+            print(f"[cg ] failed: {e}", file=sys.stderr)
 
     pts = args.Nt * args.ny * args.nx * iters
     rate = pts / best
