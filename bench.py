@@ -68,6 +68,8 @@ def main() -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from ofot_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache()
     import jax.numpy as jnp
     from jax import lax
     from ofot_tpu.solvers import foto

@@ -84,6 +84,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.precision == "f64":
         jax.config.update("jax_enable_x64", True)
+    from ofot_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache()
 
     import jax.numpy as jnp
     from ofot_tpu.utils import image, flo, metrics, warp, colorwheel
