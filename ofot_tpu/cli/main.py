@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "pallas on TPU, cg elsewhere")
     p.add_argument("--log-jsonl", nargs="?",
                    help="append a structured solver-summary record here")
+    p.add_argument("--save-density-frames", nargs="?",
+                   help="directory for the FOTO intermediate density "
+                        "trajectory rho_n as PNGs (the transport 'movie' "
+                        "the reference sketches in comments, reference "
+                        "benamou_brenier.py:262-267)")
     return p
 
 
@@ -149,6 +154,13 @@ def main(argv=None) -> int:
                         "stepA_solver": solver}
         if args.checkpoint:
             save_state(args.checkpoint, result.state)
+        if args.save_density_frames:
+            os.makedirs(args.save_density_frames, exist_ok=True)
+            rho = np.asarray(result.state.mu[0])     # (Nt, Ny, Nx)
+            for n in range(rho.shape[0]):
+                image.save_grayscale(
+                    w * h * rho[n],
+                    os.path.join(args.save_density_frames, f"rho-{n}.png"))
     elif args.algo == "GN":
         print(" - algorithm: GN")
         print(f"\t - alpha={args.alpha}")
