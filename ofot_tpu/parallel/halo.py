@@ -48,7 +48,7 @@ def _halo_shift(f, offset: int, axis: int, ax_name: str, ax_size: int):
     raise ValueError(f"halo shift only supports |offset| == 1, got {offset}")
 
 
-def _masked_boundary_set(out, f, axis, ax_name, ax_size, lo_val, hi_val):
+def _masked_boundary_set(out, axis, ax_name, ax_size, lo_val, hi_val):
     """Overwrite the global-first/global-last line of ``out`` along ``axis``
     with lo_val/hi_val, only on the tiles owning those global lines."""
     if ax_size == 1:
@@ -72,7 +72,7 @@ def lap1d_halo(f, h, bc, axis, ax_name, ax_size):
     if bc == "N":
         lo = (-_index(f, 0, axis) + _index(f, 1, axis)) / h2
         hi = (-_index(f, -1, axis) + _index(f, -2, axis)) / h2
-        out = _masked_boundary_set(out, f, axis, ax_name, ax_size, lo, hi)
+        out = _masked_boundary_set(out, axis, ax_name, ax_size, lo, hi)
     return out
 
 
@@ -84,7 +84,7 @@ def grad_central_weird_halo(f, h, bc, axis, ax_name, ax_size):
     if bc == "N":
         lo = _index(f, 1, axis) - _index(f, 0, axis)
         hi = _index(f, -1, axis) - _index(f, -2, axis)
-        out = _masked_boundary_set(out, f, axis, ax_name, ax_size, lo, hi)
+        out = _masked_boundary_set(out, axis, ax_name, ax_size, lo, hi)
     return out
 
 
@@ -95,7 +95,7 @@ def grad_central_halo(f, h, bc, axis, ax_name, ax_size):
            - _halo_shift(f, -1, axis, ax_name, ax_size)) / (2.0 * h)
     if bc == "N":
         zero = jnp.zeros_like(_index(f, 0, axis))
-        out = _masked_boundary_set(out, f, axis, ax_name, ax_size, zero, zero)
+        out = _masked_boundary_set(out, axis, ax_name, ax_size, zero, zero)
     return out
 
 
