@@ -231,6 +231,27 @@ def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
                      init=init)
 
 
+@partial(jax.jit, static_argnames=("Nt", "iterations", "cg_maxiter", "ops"))
+def solve_potential_with_history(rho0, rhoT, Nt, iterations, *, r=1.0,
+                                 reg_epsilon=1e-3, cg_rtol=1e-6,
+                                 cg_maxiter=1000, ops=DEFAULT_OPS):
+    """Fixed-iteration ALG2 via ``lax.scan`` returning the full convergence
+    trajectory (crit and cumulative inner iterations per step) — the
+    device-side convergence curve the reference only exposes as prints
+    (reference benamou_brenier.py:252).  Returns (final_state, history)
+    with ``history = {"crit": (iterations,), "cg": (iterations,)}``."""
+    state = init_state(jnp.asarray(rho0), jnp.asarray(rhoT), Nt)
+
+    def step(s, _):
+        s = alg2_iteration(s, rho0, rhoT, r=r, reg_epsilon=reg_epsilon,
+                           convergence_tol=0.0, cg_rtol=cg_rtol,
+                           cg_maxiter=cg_maxiter, ops=ops)
+        return s, (s.crit, s.cg_iterations)
+
+    state, (crits, cgs) = lax.scan(step, state, None, length=iterations)
+    return state, {"crit": crits, "cg": cgs}
+
+
 def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
           max_it=100, cg_rtol=1e-6, cg_maxiter=1000, verbose=False,
           ops=DEFAULT_OPS, init: FotoState | None = None) -> FotoResult:

@@ -152,3 +152,21 @@ def test_resume_from_state():
     np.testing.assert_allclose(np.asarray(resumed.phi), np.asarray(full.phi),
                                atol=1e-10)
     assert int(resumed.iteration) == int(full.iteration) == 10
+
+
+def test_history_matches_loop():
+    """The scan-based history variant reproduces the while_loop solve."""
+    f1, f2 = fixtures.translating_square(18)
+    kw = dict(r=1.0, reg_epsilon=1e-2)
+    st, hist = foto.solve_potential_with_history(
+        jnp.asarray(f1), jnp.asarray(f2), 4, 6, **kw)
+    loop = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                                convergence_tol=0.0, max_it=6,
+                                cg_rtol=1e-6, **kw)
+    # stagnation may stop the while_loop early; compare at its iteration
+    k = int(loop.iteration)
+    np.testing.assert_allclose(float(hist["crit"][k - 1]), float(loop.crit),
+                               rtol=1e-6)
+    assert hist["crit"].shape == (6,)
+    # criterion should broadly decrease on this fixture
+    assert float(hist["crit"][-1]) < float(hist["crit"][0])
