@@ -1,0 +1,149 @@
+// ofot_io — native image I/O for the framework's data-loading path.
+//
+// CPython extension (no pybind11 dependency) exposing fast grayscale PNG
+// decode/encode via libpng.  The reference's data path is PIL-only; this
+// keeps the sweep's host-side input pipeline off the Python interpreter.
+// RGB->luma follows PIL's convert('L') exactly (ITU-R 601-2 with the same
+// fixed-point rounding) so outputs are bit-identical to the PIL fallback.
+//
+// Build: make -C ofot_tpu/native ofot_io  (produces _ofot_io.so)
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <png.h>
+
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// PIL ImagingConvert.c L24 macro: (R*19595 + G*38470 + B*7471 + 0x8000) >> 16
+inline unsigned char luma(unsigned r, unsigned g, unsigned b) {
+    return static_cast<unsigned char>(
+        (r * 19595u + g * 38470u + b * 7471u + 0x8000u) >> 16);
+}
+
+PyObject* read_grayscale_png(PyObject*, PyObject* args) {
+    const char* path;
+    if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+
+    FILE* f = std::fopen(path, "rb");
+    if (!f) {
+        PyErr_Format(PyExc_FileNotFoundError, "cannot open %s", path);
+        return nullptr;
+    }
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info) {
+        std::fclose(f);
+        PyErr_SetString(PyExc_RuntimeError, "png struct alloc failed");
+        return nullptr;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(f);
+        PyErr_Format(PyExc_ValueError, "invalid PNG: %s", path);
+        return nullptr;
+    }
+    png_init_io(png, f);
+    png_read_info(png, info);
+
+    png_uint_32 w = png_get_image_width(png, info);
+    png_uint_32 h = png_get_image_height(png, info);
+
+    // normalize to 8-bit RGB or gray
+    png_set_strip_16(png);
+    png_set_packing(png);
+    png_set_expand(png);          // palette -> RGB, gray<8 -> 8
+    png_set_strip_alpha(png);
+    png_read_update_info(png, info);
+
+    int channels = png_get_channels(png, info);
+    std::vector<unsigned char> row(static_cast<size_t>(w) * channels);
+    std::vector<unsigned char> out(static_cast<size_t>(w) * h);
+    for (png_uint_32 y = 0; y < h; ++y) {
+        png_read_row(png, row.data(), nullptr);
+        unsigned char* dst = &out[static_cast<size_t>(y) * w];
+        if (channels == 1) {
+            std::memcpy(dst, row.data(), w);
+        } else {  // 3 channels after transforms
+            for (png_uint_32 x = 0; x < w; ++x)
+                dst[x] = luma(row[3 * x], row[3 * x + 1], row[3 * x + 2]);
+        }
+    }
+    png_read_end(png, nullptr);
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+
+    PyObject* bytes = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out.data()),
+        static_cast<Py_ssize_t>(out.size()));
+    if (!bytes) return nullptr;
+    return Py_BuildValue("IIN", w, h, bytes);
+}
+
+PyObject* write_grayscale_png(PyObject*, PyObject* args) {
+    const char* path;
+    unsigned int w, h;
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "sIIy*", &path, &w, &h, &buf))
+        return nullptr;
+    if (static_cast<size_t>(buf.len) != static_cast<size_t>(w) * h) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "buffer size != w*h");
+        return nullptr;
+    }
+    FILE* f = std::fopen(path, "wb");
+    if (!f) {
+        PyBuffer_Release(&buf);
+        PyErr_Format(PyExc_OSError, "cannot open %s for writing", path);
+        return nullptr;
+    }
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                              nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info || setjmp(png_jmpbuf(png))) {
+        if (png) png_destroy_write_struct(&png, &info);
+        std::fclose(f);
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_RuntimeError, "png write failed");
+        return nullptr;
+    }
+    png_init_io(png, f);
+    png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_GRAY,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    const unsigned char* data = static_cast<const unsigned char*>(buf.buf);
+    for (unsigned int y = 0; y < h; ++y)
+        png_write_row(png, const_cast<png_bytep>(
+            &data[static_cast<size_t>(y) * w]));
+    png_write_end(png, nullptr);
+    png_destroy_write_struct(&png, &info);
+    std::fclose(f);
+    PyBuffer_Release(&buf);
+    Py_RETURN_NONE;
+}
+
+PyMethodDef methods[] = {
+    {"read_grayscale_png", read_grayscale_png, METH_VARARGS,
+     "read_grayscale_png(path) -> (w, h, bytes)"},
+    {"write_grayscale_png", write_grayscale_png, METH_VARARGS,
+     "write_grayscale_png(path, w, h, bytes)"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_ofot_io",
+    "native grayscale PNG I/O (libpng)", -1, methods,
+    nullptr, nullptr, nullptr, nullptr,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__ofot_io(void) {
+    return PyModule_Create(&moduledef);
+}
