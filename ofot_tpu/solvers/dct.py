@@ -89,6 +89,81 @@ def _synthesis_matrix(n: int, dtype) -> jnp.ndarray:
     return jnp.asarray(_dct_matrix_np(n).T, dtype)
 
 
+# Above this axis length the cosine transform runs through an FFT
+# (O(n log n)) instead of a dense (n, n) matrix contraction (O(n^2)).
+# Backend-dependent, from measurement (BENCHMARKS.md): on TPU the MXU
+# matmul beats XLA's FFT even at 1080p/4K axes (18.1 vs 63.5 ms per ALG2
+# iteration at 1920x1080 on v5e — TPU FFT is not a first-class op), so the
+# FFT path never engages there; on CPU (no MXU) the O(n log n) path wins
+# for large axes.  None = decide from jax.default_backend() at trace time;
+# tests override with an int to force either path.
+_FFT_THRESHOLD: int | None = None
+
+
+def _fft_threshold() -> int:
+    if _FFT_THRESHOLD is not None:
+        return _FFT_THRESHOLD
+    import jax
+    return 1024 if jax.default_backend() == "cpu" else (1 << 30)
+
+
+def _ortho_scale_np(n: int, dtype) -> np.ndarray:
+    """Per-frequency scale mapping the unnormalized DCT-II (2*sum cos) to
+    the orthonormal convention used by the matmul path."""
+    s = np.full(n, np.sqrt(1.0 / (2.0 * n)))
+    s[0] = np.sqrt(1.0 / (4.0 * n))
+    return s.astype(dtype)
+
+
+def _half_shift_np(n: int) -> np.ndarray:
+    """exp(-i*pi*k/(2n)) for k = 0..n-1 (the Makhoul half-sample shift)."""
+    k = np.arange(n)
+    return np.exp(-1j * np.pi * k / (2.0 * n))
+
+
+def _dct_fft_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal DCT-II along the last axis via a length-2n real FFT.
+
+    The even extension w = [x, reverse(x)] has
+    ``rfft(w)[k] = exp(i*pi*k/(2n)) * (2 * sum_i x[i] cos(pi k (2i+1)/(2n)))``,
+    so one rfft + a pointwise twiddle yields the transform exactly.
+    """
+    n = x.shape[-1]
+    rdtype = x.dtype
+    w = jnp.concatenate([x, x[..., ::-1]], axis=-1)
+    W = jnp.fft.rfft(w, axis=-1)[..., :n]
+    ctype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
+    tw = jnp.asarray(_half_shift_np(n) * _ortho_scale_np(n, np.float64),
+                     ctype)
+    return (W * tw).real.astype(rdtype)
+
+
+def _idct_fft_last(y: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_dct_fft_last` (orthonormal DCT-III)."""
+    n = y.shape[-1]
+    rdtype = y.dtype
+    ctype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
+    # W[k] = exp(i*pi*k/(2n)) * y[k]/s[k] reconstructs rfft of the even
+    # extension; W[n] = 0 by the extension's antisymmetry at Nyquist.
+    tw = jnp.asarray(np.conj(_half_shift_np(n))
+                     / _ortho_scale_np(n, np.float64), ctype)
+    W = y.astype(ctype) * tw
+    W = jnp.concatenate([W, jnp.zeros(W.shape[:-1] + (1,), ctype)], axis=-1)
+    w = jnp.fft.irfft(W, n=2 * n, axis=-1)
+    return w[..., :n].astype(rdtype)
+
+
+def _apply_axis(x: jnp.ndarray, n: int, axis: int, inverse: bool) -> jnp.ndarray:
+    """One separable DCT factor: FFT path for large axes, MXU otherwise."""
+    if n > _fft_threshold():
+        x = jnp.moveaxis(x, axis, -1)
+        x = _idct_fft_last(x) if inverse else _dct_fft_last(x)
+        return jnp.moveaxis(x, -1, axis)
+    mat = _synthesis_matrix(n, x.dtype) if inverse \
+        else _analysis_matrix(n, x.dtype)
+    return _transform(x, mat, axis)
+
+
 def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Apply an (n, n) transform matrix along one axis of a 3-D field.
 
@@ -108,18 +183,16 @@ def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
 def dct3(x: jnp.ndarray) -> jnp.ndarray:
     """Separable orthonormal DCT-II over the (Nt, Ny, Nx) axes."""
     Nt, Ny, Nx = x.shape[-3:]
-    dtype = x.dtype
     for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
-        x = _transform(x, _analysis_matrix(n, dtype), axis)
+        x = _apply_axis(x, n, axis, inverse=False)
     return x
 
 
 def idct3(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`dct3` (transforms are orthonormal)."""
     Nt, Ny, Nx = x.shape[-3:]
-    dtype = x.dtype
     for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
-        x = _transform(x, _synthesis_matrix(n, dtype), axis)
+        x = _apply_axis(x, n, axis, inverse=True)
     return x
 
 
@@ -156,16 +229,14 @@ def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
 def dct2(x: jnp.ndarray) -> jnp.ndarray:
     """Separable orthonormal DCT-II over the trailing (Ny, Nx) axes."""
     Ny, Nx = x.shape[-2:]
-    dtype = x.dtype
-    x = _transform(x, _analysis_matrix(Ny, dtype), -2)
-    return _transform(x, _analysis_matrix(Nx, dtype), -1)
+    x = _apply_axis(x, Ny, -2, inverse=False)
+    return _apply_axis(x, Nx, -1, inverse=False)
 
 
 def idct2(x: jnp.ndarray) -> jnp.ndarray:
     Ny, Nx = x.shape[-2:]
-    dtype = x.dtype
-    x = _transform(x, _synthesis_matrix(Ny, dtype), -2)
-    return _transform(x, _synthesis_matrix(Nx, dtype), -1)
+    x = _apply_axis(x, Ny, -2, inverse=True)
+    return _apply_axis(x, Nx, -1, inverse=True)
 
 
 def neg_lap2d_spectrum(Ny: int, Nx: int, dtype=np.float64) -> np.ndarray:

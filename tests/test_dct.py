@@ -40,6 +40,39 @@ def test_device_generated_matrices_match_host():
         assert np.abs(devT - host.T).max() < 5e-8
 
 
+def test_fft_path_matches_matmul_path():
+    """The large-axis FFT formulation (Makhoul even extension) must equal
+    the orthonormal matmul DCT to roundoff — including odd lengths and the
+    full 3-D solve when every axis routes through the FFT."""
+    for n in (5, 16, 33, 1025):
+        x = jnp.asarray(RNG.standard_normal((3, n)))
+        C = dct._dct_matrix_np(n)
+        np.testing.assert_allclose(np.asarray(dct._dct_fft_last(x)),
+                                   np.asarray(x) @ C.T, atol=1e-11)
+        y = jnp.asarray(RNG.standard_normal((3, n)))
+        np.testing.assert_allclose(np.asarray(dct._idct_fft_last(y)),
+                                   np.asarray(y) @ C, atol=1e-11)
+
+    old = dct._FFT_THRESHOLD
+    dct._FFT_THRESHOLD = 4  # force every axis through the FFT path
+    try:
+        # distinct shape from other tests: solve_stepA_dct is jitted, and a
+        # cached trace would bypass the forced threshold
+        Nt, Ny, Nx = 4, 6, 10
+        r, eps = 1.0, 1e-2
+        A = (-r * G.laplacian_st_mat(Nt, Nx, Ny, 1, 1, 1, "N")
+             + r * eps * np.eye(Nt * Nx * Ny))
+        F = RNG.standard_normal((Nt, Ny, Nx))
+        want = np.linalg.solve(A, F.ravel()).reshape(Nt, Ny, Nx)
+        got = dct.solve_stepA_dct(jnp.asarray(F), r=r, reg_epsilon=eps)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+        x2 = jnp.asarray(RNG.standard_normal((7, 11)))
+        np.testing.assert_allclose(np.asarray(dct.idct2(dct.dct2(x2))),
+                                   np.asarray(x2), atol=1e-12)
+    finally:
+        dct._FFT_THRESHOLD = old
+
+
 def test_stepA_dct_solves_exactly():
     Nt, Ny, Nx = 4, 6, 9
     r, eps = 1.0, 1e-2
