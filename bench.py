@@ -64,6 +64,12 @@ def main() -> int:
     p.add_argument("--cg-maxiter", type=int, default=1000)
     p.add_argument("--algo", choices=["foto", "GN"], default="foto",
                    help="GN benchmarks the full variational solve instead")
+    p.add_argument("--ops", choices=["dct", "pallas"], default="dct",
+                   help="primary stepA/pointwise op set to time")
+    p.add_argument("--batch", type=int, default=1,
+                   help="solve B independent pairs per call (vmapped — the "
+                        "TPU form of run.sh's sequential per-sequence loop); "
+                        "throughput counts all B pairs")
     p.add_argument("--with-cg", action="store_true",
                    help="also time the reference-faithful CG stepA path "
                         "(extra compile; stderr only)")
@@ -94,9 +100,16 @@ def main() -> int:
     rhoT = jnp.asarray(f2 / scale)
     Nt, iters = args.Nt, args.iters
 
+    if args.batch > 1:
+        # B slightly shifted copies of the pair: independent problems, same
+        # shape (run.sh's per-sequence loop as one batched device program)
+        rho0 = jnp.stack([jnp.roll(rho0, i, axis=1)
+                          for i in range(args.batch)])
+        rhoT = jnp.stack([jnp.roll(rhoT, i, axis=1)
+                          for i in range(args.batch)])
+
     def make_run(ops):
-        @jax.jit
-        def run(rho0, rhoT):
+        def one(rho0, rhoT):
             st = foto.init_state(rho0, rhoT, Nt)
 
             def body(_, s):
@@ -108,7 +121,11 @@ def main() -> int:
 
             st = lax.fori_loop(0, iters, body, st)
             return st.crit, st.cg_iterations
-        return run
+
+        if args.batch > 1:
+            batched = jax.vmap(one)
+            return jax.jit(lambda a, b: jax.tree.map(jnp.max, batched(a, b)))
+        return jax.jit(one)
 
     def time_run(run):
         # NOTE: time via an actual host read (float()) — on this
@@ -126,9 +143,11 @@ def main() -> int:
             best = min(best, time.time() - t0)
         return best, crit, int(inner), compile_s
 
-    # primary: spectral stepA (the TPU-native fast path)
-    best, crit, inner, comp = time_run(make_run(foto.DCT_OPS))
-    print(f"[dct] compile {comp:.1f}s  best {best:.3f}s "
+    # primary: spectral stepA (the TPU-native fast path); --ops pallas adds
+    # the fused stepB+stepC+criterion VMEM kernel
+    primary = foto.PALLAS_OPS if args.ops == "pallas" else foto.DCT_OPS
+    best, crit, inner, comp = time_run(make_run(primary))
+    print(f"[{args.ops}] compile {comp:.1f}s  best {best:.3f}s "
           f"({best / iters * 1e3:.2f} ms/iter)  crit={crit:.4f}",
           file=sys.stderr)
     # secondary: reference-faithful CG stepA, for the record
@@ -142,7 +161,7 @@ def main() -> int:
         except Exception as e:     # pragma: no cover
             print(f"[cg ] failed: {e}", file=sys.stderr)
 
-    pts = args.Nt * args.ny * args.nx * iters
+    pts = args.Nt * args.ny * args.nx * iters * args.batch
     rate = pts / best
 
     print(json.dumps({

@@ -43,10 +43,9 @@ def fits_in_vmem(shape, dtype=jnp.float32, n_buffers=2) -> bool:
 
 # ---------------------------------------------------------------- projection
 
-def _projection_kernel(p_ref, out_ref):
-    alpha = p_ref[0]
-    beta1 = p_ref[1]
-    beta2 = p_ref[2]
+def _project_point(alpha, beta1, beta2):
+    """Branch-free paraboloid projection of (alpha, beta1, beta2) — the
+    stepB math shared by the standalone and fused kernels."""
     eps = jnp.asarray(1e-20, alpha.dtype)
 
     inside = 2.0 * alpha + beta1 * beta1 + beta2 * beta2 <= 0.0
@@ -83,15 +82,35 @@ def _projection_kernel(p_ref, out_ref):
     alpha_h = jnp.where(single, -zh * zh, -0.5 * zh * zh)
     rho_h = jnp.where(single, _SQRT2 * zh, zh)
 
-    out_ref[0] = jnp.where(inside, alpha, alpha_h)
-    out_ref[1] = jnp.where(inside, beta1, rho_h * cos_t)
-    out_ref[2] = jnp.where(inside, beta2, rho_h * sin_t)
+    return (jnp.where(inside, alpha, alpha_h),
+            jnp.where(inside, beta1, rho_h * cos_t),
+            jnp.where(inside, beta2, rho_h * sin_t))
 
 
-# per-grid-step chunk of points: (3, 8, 8192) f32 = 768 KB per in/out block
+def _projection_kernel(p_ref, out_ref):
+    a, b1, b2 = _project_point(p_ref[0], p_ref[1], p_ref[2])
+    out_ref[0] = a
+    out_ref[1] = b1
+    out_ref[2] = b2
+
+
+# per-grid-step chunk of points: up to (3, 8, 8192) f32 = 768 KB per block
 _PROJ_ROWS = 8
 _PROJ_COLS = 8192
 _PROJ_CHUNK = _PROJ_ROWS * _PROJ_COLS
+
+
+def _pick_cols(L: int) -> int | None:
+    """Largest lane-aligned chunk width such that (8, cols) chunks tile L
+    exactly — padding to a chunk multiple is NOT free (jnp.pad + the
+    output slice copy every field through HBM, measured +38% on the fused
+    ALG2 pointwise pass at the production shape), so exact tiling is the
+    fast path and padding only the fallback for awkward sizes."""
+    for cols in (8192, 6400, 5120, 4096, 3200, 2560, 2048, 1600, 1280,
+                 1024, 768, 640, 512, 384, 256, 128):
+        if L % (_PROJ_ROWS * cols) == 0:
+            return cols
+    return None
 
 
 @jax.jit
@@ -107,24 +126,119 @@ def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
     L = 1
     for d in shape[1:]:
         L *= d
-    pad = (-L) % _PROJ_CHUNK
+    cols = _pick_cols(L)
+    pad = 0 if cols else (-L) % _PROJ_CHUNK
+    cols = cols or _PROJ_COLS
     p2 = p.reshape(3, L)
     if pad:
         p2 = jnp.pad(p2, ((0, 0), (0, pad)))
-    n_chunks = (L + pad) // _PROJ_CHUNK
-    p3 = p2.reshape(3, n_chunks * _PROJ_ROWS, _PROJ_COLS)
+    n_chunks = (L + pad) // (_PROJ_ROWS * cols)
+    p3 = p2.reshape(3, n_chunks * _PROJ_ROWS, cols)
     out = pl.pallas_call(
         _projection_kernel,
         grid=(n_chunks,),
         out_shape=jax.ShapeDtypeStruct(p3.shape, p.dtype),
-        in_specs=[pl.BlockSpec((3, _PROJ_ROWS, _PROJ_COLS),
+        in_specs=[pl.BlockSpec((3, _PROJ_ROWS, cols),
                                lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, _PROJ_ROWS, _PROJ_COLS),
+        out_specs=pl.BlockSpec((3, _PROJ_ROWS, cols),
                                lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
     )(p3)
     return out.reshape(3, L + pad)[:, :L].reshape(shape)
+
+
+# ------------------------------------------- fused stepB+stepC+criterion
+
+def _fused_pointwise_kernel(r_ref, gphi_ref, mu_ref, q_ref, mu_out_ref,
+                            acc_num_ref, acc_den_ref):
+    """One VMEM pass per chunk: stepB projection of grad_phi + mu/r,
+    stepC dual update mu += r*(grad_phi - q) with density clamp, and the
+    Hamilton–Jacobi criterion partial sums (reference
+    benamou_brenier.py:214, 229-232, 246-251) — reads grad_phi/mu once and
+    writes q/mu once instead of XLA's two separate fusion passes."""
+    r = r_ref[0, 0]
+    g0, g1, g2 = gphi_ref[0], gphi_ref[1], gphi_ref[2]
+    m0, m1, m2 = mu_ref[0], mu_ref[1], mu_ref[2]
+
+    q0, q1, q2 = _project_point(g0 + m0 / r, g1 + m1 / r, g2 + m2 / r)
+    q_ref[0] = q0
+    q_ref[1] = q1
+    q_ref[2] = q2
+
+    n0 = jnp.maximum(m0 + r * (g0 - q0), 0.0)   # density clamped >= 0
+    n1 = m1 + r * (g1 - q1)
+    n2 = m2 + r * (g2 - q2)
+    mu_out_ref[0] = n0
+    mu_out_ref[1] = n1
+    mu_out_ref[2] = n2
+
+    # criterion partials over this chunk, reduced to one (rows, 128) tile;
+    # the TPU grid is a sequential loop, so accumulate across chunks
+    speed2 = g1 * g1 + g2 * g2
+    res = g0 + 0.5 * speed2
+    rows, cols = n0.shape
+    num = jnp.sum((n0 * jnp.abs(res)).reshape(rows, cols // 128, 128), axis=1)
+    den = jnp.sum((n0 * speed2).reshape(rows, cols // 128, 128), axis=1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_num_ref[:] = jnp.zeros_like(acc_num_ref)
+        acc_den_ref[:] = jnp.zeros_like(acc_den_ref)
+
+    acc_num_ref[:] += num
+    acc_den_ref[:] += den
+
+
+@jax.jit
+def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
+    """Fused stepB + stepC + HJ-criterion partials.
+
+    ``grad_phi``, ``mu``: (3, Nt, Ny, Nx).  Returns
+    ``(q, mu_new, num, denom)`` with scalar criterion sums such that
+    ``crit = sqrt(num / (denom + 1e-10))``.  Zero padding is exact: padded
+    points project to themselves (0 is inside K), update to 0, and
+    contribute 0 to both sums.
+    """
+    shape = grad_phi.shape
+    L = 1
+    for d in shape[1:]:
+        L *= d
+    cols = _pick_cols(L)
+    pad = 0 if cols else (-L) % _PROJ_CHUNK
+    cols = cols or _PROJ_COLS
+    g2d = grad_phi.reshape(3, L)
+    m2d = mu.reshape(3, L)
+    if pad:
+        g2d = jnp.pad(g2d, ((0, 0), (0, pad)))
+        m2d = jnp.pad(m2d, ((0, 0), (0, pad)))
+    n_chunks = (L + pad) // (_PROJ_ROWS * cols)
+    g3 = g2d.reshape(3, n_chunks * _PROJ_ROWS, cols)
+    m3 = m2d.reshape(3, n_chunks * _PROJ_ROWS, cols)
+    r_arr = jnp.asarray(r, grad_phi.dtype).reshape(1, 1)
+
+    block = pl.BlockSpec((3, _PROJ_ROWS, cols), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((_PROJ_ROWS, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    q3, n3, num, den = pl.pallas_call(
+        _fused_pointwise_kernel,
+        grid=(n_chunks,),
+        out_shape=(
+            jax.ShapeDtypeStruct(g3.shape, grad_phi.dtype),
+            jax.ShapeDtypeStruct(g3.shape, grad_phi.dtype),
+            jax.ShapeDtypeStruct((_PROJ_ROWS, 128), grad_phi.dtype),
+            jax.ShapeDtypeStruct((_PROJ_ROWS, 128), grad_phi.dtype),
+        ),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  block, block],
+        out_specs=(block, block, acc_spec, acc_spec),
+    )(r_arr, g3, m3)
+
+    q = q3.reshape(3, L + pad)[:, :L].reshape(shape)
+    mu_new = n3.reshape(3, L + pad)[:, :L].reshape(shape)
+    return q, mu_new, jnp.sum(num), jnp.sum(den)
 
 
 # ---------------------------------------------------------------- CG operator

@@ -79,13 +79,20 @@ class DCTOps(_DefaultOps):
 
 
 class PallasOps(DCTOps):
-    """TPU production set: spectral stepA + fused Pallas stepB projection
-    (ofot_tpu/ops/pallas/kernels.py)."""
+    """TPU production set: spectral stepA + one fused Pallas VMEM pass for
+    stepB projection + stepC dual update + criterion partials
+    (ofot_tpu/ops/pallas/kernels.py) — grad_phi and mu are read from HBM
+    once per iteration instead of once per sub-step."""
 
     @staticmethod
     def project(p):
         from ofot_tpu.ops.pallas import kernels
         return kernels.project_paraboloid_pallas(p)
+
+    @staticmethod
+    def fused_pointwise(grad_phi, mu, r):
+        from ofot_tpu.ops.pallas import kernels
+        return kernels.fused_pointwise_pallas(grad_phi, mu, r)
 
 
 DEFAULT_OPS = _DefaultOps()
@@ -161,18 +168,24 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                            cg_rtol, cg_maxiter, ops)
 
     grad_phi = ops.grad_st(phi, bc="N")
-    q = ops.project(grad_phi + mu / r)
+    fused = getattr(ops, "fused_pointwise", None)
+    if fused is not None:
+        # stepB + stepC + criterion partials in one VMEM pass
+        q, mu, num, denom = fused(grad_phi, mu, r)
+    else:
+        q = ops.project(grad_phi + mu / r)
 
-    mu = mu + r * (grad_phi - q)
-    # density positivity as a masked select over the whole stack (fuses
-    # into the update above; no dynamic-update-slice)
-    comp = lax.broadcasted_iota(jnp.int32, mu.shape, 0)
-    mu = jnp.where(comp == 0, jnp.maximum(mu, 0.0), mu)
+        mu = mu + r * (grad_phi - q)
+        # density positivity as a masked select over the whole stack (fuses
+        # into the update above; no dynamic-update-slice)
+        comp = lax.broadcasted_iota(jnp.int32, mu.shape, 0)
+        mu = jnp.where(comp == 0, jnp.maximum(mu, 0.0), mu)
 
-    # Hamilton–Jacobi residual criterion (reference benamou_brenier.py:246-251)
-    res = grad_phi[0] + 0.5 * (grad_phi[1] ** 2 + grad_phi[2] ** 2)
-    num = ops.sum(mu[0] * jnp.abs(res))
-    denom = ops.sum(mu[0] * (grad_phi[1] ** 2 + grad_phi[2] ** 2))
+        # Hamilton–Jacobi residual criterion
+        # (reference benamou_brenier.py:246-251)
+        res = grad_phi[0] + 0.5 * (grad_phi[1] ** 2 + grad_phi[2] ** 2)
+        num = ops.sum(mu[0] * jnp.abs(res))
+        denom = ops.sum(mu[0] * (grad_phi[1] ** 2 + grad_phi[2] ** 2))
     crit = jnp.sqrt(num / (denom + 1e-10))
 
     prev_crit = state.crit

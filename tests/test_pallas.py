@@ -26,11 +26,45 @@ def _interpret_mode(monkeypatch):
 
 
 def test_projection_kernel_matches_xla():
-    p = jnp.asarray(np.float32(RNG.uniform(-4, 3, (3, 8, 16, 24))))
-    want = project_paraboloid(p)
-    got = kernels.project_paraboloid_pallas(p)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+    # (3,8,16,24): L=3072 -> exact (8,384) tiling; (3,8,15,6): L=720 -> pad
+    for shape in ((3, 8, 16, 24), (3, 8, 15, 6)):
+        p = jnp.asarray(np.float32(RNG.uniform(-4, 3, shape)))
+        want = project_paraboloid(p)
+        got = kernels.project_paraboloid_pallas(p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=1e-5)
+
+
+def test_pick_cols_exact_tiling():
+    assert kernels._pick_cols(16 * 240 * 320) == 6400      # production shape
+    assert kernels._pick_cols(8 * 1080 * 1920) == 6400     # 1080p
+    assert kernels._pick_cols(720) is None                  # pad fallback
+    for L in (16 * 240 * 320, 8 * 2160 * 3840, 1024):
+        cols = kernels._pick_cols(L)
+        assert cols is not None and cols % 128 == 0 \
+            and L % (kernels._PROJ_ROWS * cols) == 0
+
+
+def test_fused_pointwise_matches_default_path():
+    """Fused stepB+stepC+criterion kernel == the unfused XLA ops."""
+    r = 1.3
+    gphi = jnp.asarray(np.float32(RNG.uniform(-2, 2, (3, 4, 10, 18))))
+    mu = jnp.asarray(np.float32(RNG.uniform(-1, 2, (3, 4, 10, 18))))
+
+    q_want = project_paraboloid(gphi + mu / r)
+    mu_want = mu + r * (gphi - q_want)
+    mu_want = mu_want.at[0].set(jnp.maximum(mu_want[0], 0.0))
+    res = gphi[0] + 0.5 * (gphi[1] ** 2 + gphi[2] ** 2)
+    num_want = jnp.sum(mu_want[0] * jnp.abs(res))
+    den_want = jnp.sum(mu_want[0] * (gphi[1] ** 2 + gphi[2] ** 2))
+
+    q, mu_new, num, den = kernels.fused_pointwise_pallas(gphi, mu, r)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_want),
                                atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu_new), np.asarray(mu_want),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(float(num), float(num_want), rtol=1e-4)
+    np.testing.assert_allclose(float(den), float(den_want), rtol=1e-4)
 
 
 def test_cg_operator_kernel_matches_xla():
