@@ -136,8 +136,15 @@ def main(argv=None) -> int:
         init = load_state(args.resume) if args.resume else None
         solver = args.stepA_solver
         if solver == "auto":
-            solver = ("pallas" if jax.devices()[0].platform not in
-                      ("cpu", "gpu") else "cg")
+            if jax.devices()[0].platform in ("cpu", "gpu"):
+                solver = "cg"
+            else:
+                # measured on v5e (BENCHMARKS.md): the fused Pallas
+                # pointwise pass wins at large grids (16.9 vs 18.1 ms/iter
+                # at 1080p) but loses to XLA's own fusion at small ones
+                # (0.73 vs 0.68 ms/iter at 320x240) — split at ~4M points
+                npts = args.Nt * rho1_d.shape[0] * rho1_d.shape[1]
+                solver = "pallas" if npts >= (1 << 22) else "dct"
         ops = {"cg": foto.DEFAULT_OPS, "dct": foto.DCT_OPS,
                "pallas": foto.PALLAS_OPS}[solver]
         result = foto.solve(
