@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "iterative solve; dct = exact spectral solve (MXU); "
                         "pallas = dct + fused Pallas projection; auto = "
                         "pallas on TPU, cg elsewhere")
+    p.add_argument("--admm-alpha", type=float, default=1.0,
+                   help="ADMM over-relaxation factor for FOTO (1.0 = exact "
+                        "reference iteration; 1.5-1.8 typically converges "
+                        "in fewer iterations to the same fixed point)")
     p.add_argument("--log-jsonl", nargs="?",
                    help="append a structured solver-summary record here")
     p.add_argument("--save-density-frames", nargs="?",
@@ -151,7 +155,8 @@ def main(argv=None) -> int:
             rho1_d, rho2_d, args.Nt, r=args.r,
             convergence_tol=args.convergence_tol,
             reg_epsilon=args.reg_epsilon, max_it=args.max_it,
-            verbose=not args.quiet, init=init, ops=ops)
+            verbose=not args.quiet, init=init, ops=ops,
+            admm_alpha=args.admm_alpha)
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
                    np.asarray(result.m))
         jax.block_until_ready(result.state.phi)

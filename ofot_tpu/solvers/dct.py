@@ -205,14 +205,18 @@ def stepA_spectrum(Nt: int, Ny: int, Nx: int, r: float, reg_epsilon: float,
     return (-r * (lt + ly + lx) + r * reg_epsilon).astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("r", "reg_epsilon"))
+@jax.jit
 def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
                     reg_epsilon: float = 1e-2) -> jnp.ndarray:
     """Exact solve of ``(-r*L_st + r*eps*I) phi = F`` via 3-D DCT.
 
     The spectrum is assembled in-graph from three 1-D eigenvalue vectors
     (a dense (Nt, Ny, Nx) constant would be a quarter-GB program blob at
-    4K resolution); the broadcast add fuses into the divide.
+    4K resolution); the broadcast add fuses into the divide.  ``r`` and
+    ``reg_epsilon`` are traced (NOT static): callers like
+    ``foto.solve_potential`` pass them as jit-traced scalars, and a traced
+    value in a static argname poisons the jit cache key (the second call
+    with a fresh tracer fails the cache-key equality check).
     """
     Nt, Ny, Nx = F.shape[-3:]
     dtype = np.dtype(F.dtype)

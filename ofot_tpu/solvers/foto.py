@@ -160,22 +160,35 @@ def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, cg_rtol, cg_maxiter,
 
 def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                    convergence_tol, cg_rtol=1e-6, cg_maxiter=1000,
-                   verbose=False, max_it=100, ops=DEFAULT_OPS) -> FotoState:
-    """One full ALG2 iteration: stepA + stepB + stepC + criterion."""
+                   verbose=False, max_it=100, ops=DEFAULT_OPS,
+                   admm_alpha=1.0) -> FotoState:
+    """One full ALG2 iteration: stepA + stepB + stepC + criterion.
+
+    ``admm_alpha`` (net-new vs reference): standard ADMM over-relaxation —
+    stepB/stepC act on ``alpha*grad_phi + (1-alpha)*q_prev`` instead of
+    ``grad_phi``.  alpha=1.0 is the reference's exact iteration; alpha in
+    (1, 2) typically converges in substantially fewer iterations to the
+    same fixed point (the saddle of the augmented Lagrangian is unchanged).
+    Must be a static Python float.
+    """
     mu, q_prev = state.mu, state.q
 
     phi, cg_iters = _stepA(mu, q_prev, rho0, rhoT, r, reg_epsilon,
                            cg_rtol, cg_maxiter, ops)
 
     grad_phi = ops.grad_st(phi, bc="N")
+    relaxed = (grad_phi if admm_alpha == 1.0 else
+               admm_alpha * grad_phi + (1.0 - admm_alpha) * q_prev)
     fused = getattr(ops, "fused_pointwise", None)
-    if fused is not None:
-        # stepB + stepC + criterion partials in one VMEM pass
+    if fused is not None and admm_alpha == 1.0:
+        # stepB + stepC + criterion partials in one VMEM pass (the kernel
+        # derives the HJ criterion from its first argument, which must be
+        # the true grad_phi — hence alpha=1 only)
         q, mu, num, denom = fused(grad_phi, mu, r)
     else:
-        q = ops.project(grad_phi + mu / r)
+        q = ops.project(relaxed + mu / r)
 
-        mu = mu + r * (grad_phi - q)
+        mu = mu + r * (relaxed - q)
         # density positivity as a masked select over the whole stack (fuses
         # into the update above; no dynamic-update-slice)
         comp = lax.broadcasted_iota(jnp.int32, mu.shape, 0)
@@ -209,7 +222,7 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
 def alg2_loop(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
               reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
               cg_maxiter=1000, verbose=False, ops=DEFAULT_OPS,
-              init: FotoState | None = None) -> FotoState:
+              admm_alpha=1.0, init: FotoState | None = None) -> FotoState:
     """Unjitted ALG2 while_loop — callable directly inside shard_map."""
     state = init_state(rho0, rhoT, Nt) if init is None else init
 
@@ -220,34 +233,39 @@ def alg2_loop(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
         return alg2_iteration(
             s, rho0, rhoT, r=r, reg_epsilon=reg_epsilon,
             convergence_tol=convergence_tol, cg_rtol=cg_rtol,
-            cg_maxiter=cg_maxiter, verbose=verbose, max_it=max_it, ops=ops)
+            cg_maxiter=cg_maxiter, verbose=verbose, max_it=max_it, ops=ops,
+            admm_alpha=admm_alpha)
 
     return lax.while_loop(cond, body, state)
 
 
 @partial(jax.jit, static_argnames=("Nt", "max_it", "cg_maxiter", "verbose",
-                                   "ops"))
+                                   "ops", "admm_alpha"))
 def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
                     reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
                     cg_maxiter=1000, verbose=False, ops=DEFAULT_OPS,
+                    admm_alpha=1.0,
                     init: FotoState | None = None) -> FotoState:
     """Run the ALG2 loop to convergence; returns the final solver state.
 
     Defaults mirror the reference library defaults
     (reference benamou_brenier.py:151); the CLI overrides them like
     reference main.py does.  Pass ``init`` (e.g. from a checkpoint) to
-    resume a long solve.
+    resume a long solve.  ``admm_alpha`` != 1 enables over-relaxed ADMM
+    (see :func:`alg2_iteration`).
     """
     return alg2_loop(rho0, rhoT, Nt, r=r, convergence_tol=convergence_tol,
                      reg_epsilon=reg_epsilon, max_it=max_it, cg_rtol=cg_rtol,
                      cg_maxiter=cg_maxiter, verbose=verbose, ops=ops,
-                     init=init)
+                     admm_alpha=admm_alpha, init=init)
 
 
-@partial(jax.jit, static_argnames=("Nt", "iterations", "cg_maxiter", "ops"))
+@partial(jax.jit, static_argnames=("Nt", "iterations", "cg_maxiter", "ops",
+                                   "admm_alpha"))
 def solve_potential_with_history(rho0, rhoT, Nt, iterations, *, r=1.0,
                                  reg_epsilon=1e-3, cg_rtol=1e-6,
-                                 cg_maxiter=1000, ops=DEFAULT_OPS):
+                                 cg_maxiter=1000, ops=DEFAULT_OPS,
+                                 admm_alpha=1.0):
     """Fixed-iteration ALG2 via ``lax.scan`` returning the full convergence
     trajectory (crit and cumulative inner iterations per step) — the
     device-side convergence curve the reference only exposes as prints
@@ -258,7 +276,8 @@ def solve_potential_with_history(rho0, rhoT, Nt, iterations, *, r=1.0,
     def step(s, _):
         s = alg2_iteration(s, rho0, rhoT, r=r, reg_epsilon=reg_epsilon,
                            convergence_tol=0.0, cg_rtol=cg_rtol,
-                           cg_maxiter=cg_maxiter, ops=ops)
+                           cg_maxiter=cg_maxiter, ops=ops,
+                           admm_alpha=admm_alpha)
         return s, (s.crit, s.cg_iterations)
 
     state, (crits, cgs) = lax.scan(step, state, None, length=iterations)
@@ -267,7 +286,8 @@ def solve_potential_with_history(rho0, rhoT, Nt, iterations, *, r=1.0,
 
 def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
           max_it=100, cg_rtol=1e-6, cg_maxiter=1000, verbose=False,
-          ops=DEFAULT_OPS, init: FotoState | None = None) -> FotoResult:
+          ops=DEFAULT_OPS, admm_alpha=1.0,
+          init: FotoState | None = None) -> FotoResult:
     """Full FOTO solve: ALG2 on the potential, then flow extraction
     (trajectory integration + luminosity), mirroring the reference's
     ``benamou_brenier.solve`` -> (u, v, m) contract
@@ -279,6 +299,7 @@ def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
     state = solve_potential(
         rho0, rhoT, Nt, r=r, convergence_tol=convergence_tol,
         reg_epsilon=reg_epsilon, max_it=max_it, cg_rtol=cg_rtol,
-        cg_maxiter=cg_maxiter, verbose=verbose, ops=ops, init=init)
+        cg_maxiter=cg_maxiter, verbose=verbose, ops=ops,
+        admm_alpha=admm_alpha, init=init)
     u, v, m = flow_extract.flow_from_potential(state.phi)
     return FotoResult(u=u, v=v, m=m, state=state)

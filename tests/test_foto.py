@@ -170,3 +170,20 @@ def test_history_matches_loop():
     assert hist["crit"].shape == (6,)
     # criterion should broadly decrease on this fixture
     assert float(hist["crit"][-1]) < float(hist["crit"][0])
+
+
+def test_admm_over_relaxation():
+    """alpha != 1 (over-relaxed ADMM, net-new vs reference) converges to
+    the same transport: fewer/equal iterations to stagnation and a flow
+    close to the alpha=1 solution; alpha=1 is untouched reference math."""
+    f1, f2 = fixtures.smooth_blob_pair(24, 28)
+    kw = dict(r=1.0, convergence_tol=0.01, reg_epsilon=1e-2, max_it=300,
+              ops=foto.DCT_OPS)
+    base = foto.solve(jnp.asarray(f1), jnp.asarray(f2), 6, **kw)
+    over = foto.solve(jnp.asarray(f1), jnp.asarray(f2), 6,
+                      admm_alpha=1.7, **kw)
+    assert int(over.state.iteration) <= int(base.state.iteration)
+    # same fixed point: displacement fields agree to solver tolerance
+    du = np.abs(np.asarray(over.u) - np.asarray(base.u)).max()
+    dv = np.abs(np.asarray(over.v) - np.asarray(base.v)).max()
+    assert du < 0.15 and dv < 0.15
