@@ -21,7 +21,7 @@ available for bitwise-faithful reference semantics (``stepA_solver="cg"``).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -103,7 +103,6 @@ _FFT_THRESHOLD: int | None = None
 def _fft_threshold() -> int:
     if _FFT_THRESHOLD is not None:
         return _FFT_THRESHOLD
-    import jax
     return 1024 if jax.default_backend() == "cpu" else (1 << 30)
 
 
@@ -153,7 +152,8 @@ def _idct_fft_last(y: jnp.ndarray) -> jnp.ndarray:
     return w[..., :n].astype(rdtype)
 
 
-def _apply_axis(x: jnp.ndarray, n: int, axis: int, inverse: bool) -> jnp.ndarray:
+def _apply_axis(x: jnp.ndarray, n: int, axis: int, inverse: bool,
+                precision=None) -> jnp.ndarray:
     """One separable DCT factor: FFT path for large axes, MXU otherwise."""
     if n > _fft_threshold():
         x = jnp.moveaxis(x, axis, -1)
@@ -161,22 +161,23 @@ def _apply_axis(x: jnp.ndarray, n: int, axis: int, inverse: bool) -> jnp.ndarray
         return jnp.moveaxis(x, -1, axis)
     mat = _synthesis_matrix(n, x.dtype) if inverse \
         else _analysis_matrix(n, x.dtype)
-    return _transform(x, mat, axis)
+    return _transform(x, mat, axis, precision=precision)
 
 
-def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
+def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int,
+               precision=None) -> jnp.ndarray:
     """Apply an (n, n) transform matrix along one axis of a 3-D field.
 
-    Precision.HIGHEST is load-bearing on TPU: the MXU's default matmul
-    precision multiplies in bf16, which degrades the cosine transforms to
-    ~1e-2 relative error and stalls ALG2 convergence around crit~0.4
-    (observed on v5e); HIGHEST forces full-f32 (6-pass) multiplication.
+    Precision.HIGHEST (the default) is load-bearing on TPU for *solves*:
+    the MXU's default matmul precision multiplies in bf16, which degrades
+    the cosine transforms to ~1e-2 relative error and stalls ALG2
+    convergence around crit~0.4 (observed on v5e); HIGHEST forces full-f32
+    (6-pass) multiplication.  Preconditioner applications may pass a lower
+    precision — they only need an approximate SPD inverse.
     """
-    import jax
-
     x = jnp.moveaxis(x, axis, -1)
     y = jnp.matmul(x, mat.T, preferred_element_type=x.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision or jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -230,17 +231,17 @@ def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
 
 # ----------------------------------------------------------- 2-D (GN) case
 
-def dct2(x: jnp.ndarray) -> jnp.ndarray:
+def dct2(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Separable orthonormal DCT-II over the trailing (Ny, Nx) axes."""
     Ny, Nx = x.shape[-2:]
-    x = _apply_axis(x, Ny, -2, inverse=False)
-    return _apply_axis(x, Nx, -1, inverse=False)
+    x = _apply_axis(x, Ny, -2, inverse=False, precision=precision)
+    return _apply_axis(x, Nx, -1, inverse=False, precision=precision)
 
 
-def idct2(x: jnp.ndarray) -> jnp.ndarray:
+def idct2(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     Ny, Nx = x.shape[-2:]
-    x = _apply_axis(x, Ny, -2, inverse=True)
-    return _apply_axis(x, Nx, -1, inverse=True)
+    x = _apply_axis(x, Ny, -2, inverse=True, precision=precision)
+    return _apply_axis(x, Nx, -1, inverse=True, precision=precision)
 
 
 def neg_lap2d_spectrum(Ny: int, Nx: int, dtype=np.float64) -> np.ndarray:

@@ -90,7 +90,7 @@ def make_operator(f2, alpha, lambda_):
     return A, M
 
 
-def make_spectral_preconditioner(f2, alpha, lambda_):
+def make_spectral_preconditioner(f2, alpha, lambda_, precision=None):
     """Spectral (DCT) preconditioner: exact inverse of the smoothness
     operator plus the *mean* data diagonal, per component.
 
@@ -98,7 +98,14 @@ def make_spectral_preconditioner(f2, alpha, lambda_):
     (ofot_tpu/solvers/dct.py), so M^-1 = blockdiag over components of
     ``(alpha_i * (-L) + c_i I)^-1`` costs 4 MXU matmuls per component and
     removes the Laplacian's long-wavelength ill-conditioning that the
-    pointwise block-Jacobi preconditioner cannot touch."""
+    pointwise block-Jacobi preconditioner cannot touch.
+
+    ``precision``: matmul precision of the transforms.  A preconditioner
+    only needs an approximate inverse, so bf16 (Precision.DEFAULT) is
+    usable — measured on v5e at 320x240: 166 vs 153 CG iterations but
+    ~10% lower wall (26.7 vs 29.8 ms), solutions equal to 5e-6.  Default
+    stays HIGHEST: bf16 rounding makes M very slightly non-symmetric,
+    which standard PCG theory does not cover, and the gain is small."""
     from ofot_tpu.solvers import dct as dct_mod
 
     fx, fy = image_gradients(f2)
@@ -113,7 +120,8 @@ def make_spectral_preconditioner(f2, alpha, lambda_):
     spec = coef[:, None, None] * lam[None] + c[:, None, None]
 
     def M(rhs):
-        return dct_mod.idct2(dct_mod.dct2(rhs) / spec)
+        return dct_mod.idct2(dct_mod.dct2(rhs, precision=precision) / spec,
+                             precision=precision)
 
     return M
 
