@@ -188,18 +188,26 @@ def bench_gn(args) -> int:
     f2 = np.roll(np.roll(f1, 2, axis=0), 3, axis=1)
     a, b = jnp.asarray(f1), jnp.asarray(f2)
 
-    run = jax.jit(lambda p, q: gn.solve_fields(p, q, 0.1, 0.2, rtol=1e-7))
+    @jax.jit
+    def run(p, q):
+        r = gn.solve_fields(p, q, 0.1, 0.2, rtol=1e-7)
+        # one stacked probe scalarizes the host read: each device->host
+        # fetch costs a full tunnel roundtrip (~20 ms), so fetch once
+        probe = jnp.stack([r.cg.residual, r.u[0, 0],
+                           r.cg.iterations.astype(p.dtype)])
+        return r, probe
+
     t0 = time.time()
-    r = run(a, b)
-    _ = float(r.cg.residual)          # force host read (see time_run note)
+    r, probe = run(a, b)
+    _ = np.asarray(probe)             # force host read (see time_run note)
     print(f"compile+first: {time.time() - t0:.1f}s  iters "
           f"{int(r.cg.iterations)} converged {bool(r.cg.converged)}",
           file=sys.stderr)
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.time()
-        rr = run(a, b)
-        float(rr.cg.residual), float(rr.u[0, 0])
+        _, probe = run(a, b)
+        np.asarray(probe)
         best = min(best, time.time() - t0)
     print(f"best wall: {best:.4f}s", file=sys.stderr)
     print(json.dumps({
