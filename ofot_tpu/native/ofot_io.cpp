@@ -6,7 +6,7 @@
 // RGB->luma follows PIL's convert('L') exactly (ITU-R 601-2 with the same
 // fixed-point rounding) so outputs are bit-identical to the PIL fallback.
 //
-// Build: make -C ofot_tpu/native ofot_io  (produces _ofot_io.so)
+// Build: make -C ofot_tpu/native  (produces _ofot_io.<abi>.so)
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -53,28 +53,51 @@ PyObject* read_grayscale_png(PyObject*, PyObject* args) {
 
     png_uint_32 w = png_get_image_width(png, info);
     png_uint_32 h = png_get_image_height(png, info);
+    int bit_depth = png_get_bit_depth(png, info);
+    int color_type = png_get_color_type(png, info);
 
-    // normalize to 8-bit RGB or gray
-    png_set_strip_16(png);
+    // 16-bit grayscale keeps its depth: PIL opens it as mode 'I' and
+    // convert('L') CLIPS at 255 (not high-byte truncation), so strip_16
+    // would silently diverge from the PIL fallback.  Everything else
+    // normalizes to 8-bit RGB or gray.
+    bool gray16 = (bit_depth == 16 && color_type == PNG_COLOR_TYPE_GRAY);
+    if (!gray16) png_set_strip_16(png);
     png_set_packing(png);
     png_set_expand(png);          // palette -> RGB, gray<8 -> 8
     png_set_strip_alpha(png);
+    // returns the pass count (7 for Adam7); png_read_image then
+    // de-interlaces correctly — per-row reads would scramble interlaced
+    // files
+    png_set_interlace_handling(png);
     png_read_update_info(png, info);
 
     int channels = png_get_channels(png, info);
-    std::vector<unsigned char> row(static_cast<size_t>(w) * channels);
+    size_t rowbytes = png_get_rowbytes(png, info);
+    std::vector<unsigned char> img(rowbytes * h);
+    std::vector<png_bytep> rows(h);
+    for (png_uint_32 y = 0; y < h; ++y)
+        rows[y] = img.data() + static_cast<size_t>(y) * rowbytes;
+    png_read_image(png, rows.data());
+    png_read_end(png, nullptr);
+
     std::vector<unsigned char> out(static_cast<size_t>(w) * h);
     for (png_uint_32 y = 0; y < h; ++y) {
-        png_read_row(png, row.data(), nullptr);
+        const unsigned char* src = rows[y];
         unsigned char* dst = &out[static_cast<size_t>(y) * w];
-        if (channels == 1) {
-            std::memcpy(dst, row.data(), w);
+        if (gray16) {
+            for (png_uint_32 x = 0; x < w; ++x) {
+                // PNG stores 16-bit big-endian; clip like PIL 'I'->'L'
+                unsigned v = (static_cast<unsigned>(src[2 * x]) << 8)
+                             | src[2 * x + 1];
+                dst[x] = v > 255u ? 255u : static_cast<unsigned char>(v);
+            }
+        } else if (channels == 1) {
+            std::memcpy(dst, src, w);
         } else {  // 3 channels after transforms
             for (png_uint_32 x = 0; x < w; ++x)
-                dst[x] = luma(row[3 * x], row[3 * x + 1], row[3 * x + 2]);
+                dst[x] = luma(src[3 * x], src[3 * x + 1], src[3 * x + 2]);
         }
     }
-    png_read_end(png, nullptr);
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(f);
 

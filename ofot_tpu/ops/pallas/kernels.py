@@ -105,12 +105,39 @@ def _pick_cols(L: int) -> int | None:
     exactly — padding to a chunk multiple is NOT free (jnp.pad + the
     output slice copy every field through HBM, measured +38% on the fused
     ALG2 pointwise pass at the production shape), so exact tiling is the
-    fast path and padding only the fallback for awkward sizes."""
-    for cols in (8192, 6400, 5120, 4096, 3200, 2560, 2048, 1600, 1280,
+    fast path and padding only the fallback for awkward sizes.  Every
+    candidate must be a multiple of 128: the block specs and the fused
+    kernel's (rows, cols//128, 128) criterion reduction require full
+    lanes."""
+    for cols in (8192, 6400, 5120, 4096, 3200, 2560, 2048, 1280,
                  1024, 768, 640, 512, 384, 256, 128):
         if L % (_PROJ_ROWS * cols) == 0:
             return cols
     return None
+
+
+def _chunk3(arrs, L: int):
+    """Reshape each (3, L)-flattenable array into lane-aligned chunks.
+
+    Returns ``(chunked_arrays, cols, n_chunks, pad)`` — exact tiling via
+    :func:`_pick_cols` when possible, zero-padding to the default chunk
+    otherwise.  Shared by the projection and fused-pointwise kernels so
+    the tiling policy exists once."""
+    cols = _pick_cols(L)
+    pad = 0 if cols else (-L) % _PROJ_CHUNK
+    cols = cols or _PROJ_COLS
+    n_chunks = (L + pad) // (_PROJ_ROWS * cols)
+    out = []
+    for a in arrs:
+        a = a.reshape(3, L)
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        out.append(a.reshape(3, n_chunks * _PROJ_ROWS, cols))
+    return out, cols, n_chunks, pad
+
+
+def _unchunk3(a, shape, L: int, pad: int):
+    return a.reshape(3, L + pad)[:, :L].reshape(shape)
 
 
 @jax.jit
@@ -126,14 +153,7 @@ def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
     L = 1
     for d in shape[1:]:
         L *= d
-    cols = _pick_cols(L)
-    pad = 0 if cols else (-L) % _PROJ_CHUNK
-    cols = cols or _PROJ_COLS
-    p2 = p.reshape(3, L)
-    if pad:
-        p2 = jnp.pad(p2, ((0, 0), (0, pad)))
-    n_chunks = (L + pad) // (_PROJ_ROWS * cols)
-    p3 = p2.reshape(3, n_chunks * _PROJ_ROWS, cols)
+    (p3,), cols, n_chunks, pad = _chunk3([p], L)
     out = pl.pallas_call(
         _projection_kernel,
         grid=(n_chunks,),
@@ -145,7 +165,7 @@ def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
                                lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
     )(p3)
-    return out.reshape(3, L + pad)[:, :L].reshape(shape)
+    return _unchunk3(out, shape, L, pad)
 
 
 # ------------------------------------------- fused stepB+stepC+criterion
@@ -204,17 +224,7 @@ def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
     L = 1
     for d in shape[1:]:
         L *= d
-    cols = _pick_cols(L)
-    pad = 0 if cols else (-L) % _PROJ_CHUNK
-    cols = cols or _PROJ_COLS
-    g2d = grad_phi.reshape(3, L)
-    m2d = mu.reshape(3, L)
-    if pad:
-        g2d = jnp.pad(g2d, ((0, 0), (0, pad)))
-        m2d = jnp.pad(m2d, ((0, 0), (0, pad)))
-    n_chunks = (L + pad) // (_PROJ_ROWS * cols)
-    g3 = g2d.reshape(3, n_chunks * _PROJ_ROWS, cols)
-    m3 = m2d.reshape(3, n_chunks * _PROJ_ROWS, cols)
+    (g3, m3), cols, n_chunks, pad = _chunk3([grad_phi, mu], L)
     r_arr = jnp.asarray(r, grad_phi.dtype).reshape(1, 1)
 
     block = pl.BlockSpec((3, _PROJ_ROWS, cols), lambda i: (0, i, 0),
@@ -236,8 +246,8 @@ def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
         out_specs=(block, block, acc_spec, acc_spec),
     )(r_arr, g3, m3)
 
-    q = q3.reshape(3, L + pad)[:, :L].reshape(shape)
-    mu_new = n3.reshape(3, L + pad)[:, :L].reshape(shape)
+    q = _unchunk3(q3, shape, L, pad)
+    mu_new = _unchunk3(n3, shape, L, pad)
     return q, mu_new, jnp.sum(num), jnp.sum(den)
 
 

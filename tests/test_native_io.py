@@ -38,12 +38,48 @@ class TestNative:
         np.testing.assert_array_equal(ours, pil)
 
     def test_16bit_png(self, tmp_path):
+        """PIL opens 16-bit gray as mode 'I' and convert('L') CLIPS at 255
+        (not high-byte truncation) — the native decoder must match it
+        bit-for-bit, or solves diverge depending on whether the extension
+        is built."""
         arr16 = RNG.integers(0, 65536, (8, 9), dtype=np.uint16)
+        arr16[0, :4] = [30000, 100, 255, 256]    # clip-boundary cases
         p = tmp_path / "g16.png"
         Image.fromarray(arr16, "I;16").save(p)
         ours, w, h = image.open_grayscale(str(p))
         assert (w, h) == (9, 8)
-        assert 0.0 <= ours.min() and ours.max() <= 1.0
+        pil = np.asarray(Image.open(p).convert("L")).astype(np.float64) / 255
+        np.testing.assert_array_equal(ours, pil)
+
+    def test_adam7_interlaced_png(self, tmp_path):
+        """Interlaced PNGs must de-interlace (per-row reads would silently
+        scramble them).  PIL cannot write Adam7, so hand-encode one."""
+        import struct
+        import zlib
+
+        def chunk(tag, payload):
+            c = tag + payload
+            return (struct.pack(">I", len(payload)) + c
+                    + struct.pack(">I", zlib.crc32(c)))
+
+        W = H = 8
+        img = RNG.integers(0, 256, (H, W), dtype=np.uint8)
+        adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = b""
+        for (x0, y0, dx, dy) in adam7:
+            for y in range(y0, H, dy):
+                raw += b"\x00" + bytes(int(img[y, x])
+                                       for x in range(x0, W, dx))
+        ihdr = struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 1)  # interlace=1
+        p = tmp_path / "adam7.png"
+        p.write_bytes(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                      + chunk(b"IDAT", zlib.compress(raw))
+                      + chunk(b"IEND", b""))
+        # sanity: PIL agrees with the encoder
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
+        ours, w, h = image.open_grayscale(str(p))
+        np.testing.assert_array_equal(ours, img.astype(np.float64) / 255)
 
     def test_missing_file_raises(self):
         with pytest.raises(FileNotFoundError):

@@ -43,6 +43,22 @@ def test_pick_cols_exact_tiling():
         cols = kernels._pick_cols(L)
         assert cols is not None and cols % 128 == 0 \
             and L % (kernels._PROJ_ROWS * cols) == 0
+    # every candidate ever returned must be lane-aligned (a 1600 entry once
+    # slipped in: 1600 % 128 != 0, crashing the fused kernel's criterion
+    # reshape for L = 12800k multiples, e.g. 16x80x50)
+    for L in range(128, 200_000, 1024):
+        cols = kernels._pick_cols(L)
+        assert cols is None or cols % 128 == 0
+
+
+def test_fused_pointwise_16x80x50():
+    """L = 64000 (once selected the non-lane-aligned 1600 chunk width)."""
+    gphi = jnp.asarray(np.float32(RNG.uniform(-2, 2, (3, 16, 80, 50))))
+    mu = jnp.asarray(np.float32(RNG.uniform(-1, 2, (3, 16, 80, 50))))
+    q, mu_new, num, den = kernels.fused_pointwise_pallas(gphi, mu, 1.0)
+    q_want = project_paraboloid(gphi + mu)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_want),
+                               atol=2e-6, rtol=1e-5)
 
 
 def test_fused_pointwise_matches_default_path():

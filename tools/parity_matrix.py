@@ -25,7 +25,10 @@ from ofot_tpu.utils import image, flo  # noqa: E402
 
 
 def make_pair(kind: str, h: int, w: int):
-    rng = np.random.default_rng(hash(kind) % 2**32)
+    # crc32, not hash(): str hashing is salted per process, which
+    # would make the recorded parity numbers irreproducible
+    import zlib
+    rng = np.random.default_rng(zlib.crc32(kind.encode()))
     y, x = np.mgrid[0:h, 0:w]
     if kind == "square":
         f1 = np.zeros((h, w))
