@@ -35,6 +35,17 @@ _ACOS_COEF = (3.0 / 2.0) ** 1.5
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _pallas_call(*args, **kw):
+    """pl.pallas_call that interprets on the CPU backend.
+
+    Mosaic kernels only compile for TPU; on CPU (tests, CLI with
+    --platform=cpu and --stepA-solver=pallas) fall back to interpret mode
+    instead of crashing, so one ops object works on every backend."""
+    if jax.default_backend() == "cpu":
+        kw.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kw)
+
+
 def fits_in_vmem(shape, dtype=jnp.float32, n_buffers=2) -> bool:
     import numpy as np
     return int(np.prod(shape)) * jnp.dtype(dtype).itemsize * n_buffers \
@@ -154,7 +165,7 @@ def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
     for d in shape[1:]:
         L *= d
     (p3,), cols, n_chunks, pad = _chunk3([p], L)
-    out = pl.pallas_call(
+    out = _pallas_call(
         _projection_kernel,
         grid=(n_chunks,),
         out_shape=jax.ShapeDtypeStruct(p3.shape, p.dtype),
@@ -231,7 +242,7 @@ def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
                          memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((_PROJ_ROWS, 128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    q3, n3, num, den = pl.pallas_call(
+    q3, n3, num, den = _pallas_call(
         _fused_pointwise_kernel,
         grid=(n_chunks,),
         out_shape=(
@@ -308,7 +319,7 @@ def cg_operator_pallas(x: jnp.ndarray, r: float = 1.0,
     compiler (production shapes), and the spectral stepA (solvers/dct.py)
     obsoletes the CG loop on TPU anyway — kept as an experimental kernel,
     not wired into any ops context."""
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_cg_op_kernel, r=r, reg_epsilon=reg_epsilon),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
