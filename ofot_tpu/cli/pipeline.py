@@ -299,6 +299,7 @@ def _batched_params(extra: str):
                "max-it": ("foto", "max_it", int),
                "alpha": ("gn", "alpha", float),
                "lambdaa": ("gn", "lambda_", float),
+               "admm-alpha": ("foto", "admm_alpha", float),
                "stepA-solver": ("foto", "stepA_solver", str)}
     for tok in (extra or "").split():
         if not tok.startswith("--") or "=" not in tok:
