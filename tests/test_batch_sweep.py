@@ -55,3 +55,25 @@ def test_batch_resumes_from_flags(tmp_path):
     mtime = flo_path.stat().st_mtime
     assert pipeline.main(argv) == 0          # all flagged -> nothing re-run
     assert flo_path.stat().st_mtime == mtime
+
+
+def test_batch_data_parallel_matches_single_device(tmp_path):
+    """--data-parallel D shards the batch axis over the 'data' mesh axis
+    (forced 8-device CPU mesh from conftest) — flows must match the
+    unsharded batched sweep."""
+    _mk_data(tmp_path / "data", ["a", "b", "c", "d"])
+    common = ["--data-root", str(tmp_path / "data"),
+              "--datasets", "middlebury-1", "--platform=cpu",
+              "--extra-args", FAST]
+    assert pipeline.main(["run", "--batch", "--results",
+                          str(tmp_path / "one")] + common) == 0
+    assert pipeline.main(["run", "--batch", "--data-parallel", "4",
+                          "--results", str(tmp_path / "dp")] + common) == 0
+    for name in ("a", "b", "c", "d"):
+        for algo in ("gn", "foto"):
+            _, _, u1, v1 = flo.read_flo(
+                str(tmp_path / "one" / "middlebury-1" / name / f"{algo}.flo"))
+            _, _, u2, v2 = flo.read_flo(
+                str(tmp_path / "dp" / "middlebury-1" / name / f"{algo}.flo"))
+            aepe = np.sqrt((u1 - u2) ** 2 + (v1 - v2) ** 2).mean()
+            assert aepe < 1e-4, (name, algo, aepe)
