@@ -64,7 +64,8 @@ def main() -> int:
     p.add_argument("--cg-maxiter", type=int, default=1000)
     p.add_argument("--algo", choices=["foto", "GN"], default="foto",
                    help="GN benchmarks the full variational solve instead")
-    p.add_argument("--ops", choices=["dct", "pallas"], default="dct",
+    p.add_argument("--ops", choices=["dct", "pallas", "dct-refined"],
+                   default="dct",
                    help="primary stepA/pointwise op set to time")
     p.add_argument("--batch", type=int, default=1,
                    help="solve B independent pairs per call (vmapped — the "
@@ -145,7 +146,9 @@ def main() -> int:
 
     # primary: spectral stepA (the TPU-native fast path); --ops pallas adds
     # the fused stepB+stepC+criterion VMEM kernel
-    primary = foto.PALLAS_OPS if args.ops == "pallas" else foto.DCT_OPS
+    primary = {"pallas": foto.PALLAS_OPS,
+               "dct-refined": foto.DCTRefinedOps()}.get(args.ops,
+                                                        foto.DCT_OPS)
     best, crit, inner, comp = time_run(make_run(primary))
     print(f"[{args.ops}] compile {comp:.1f}s  best {best:.3f}s "
           f"({best / iters * 1e3:.2f} ms/iter)  crit={crit:.4f}",

@@ -64,12 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-iteration solver prints")
-    p.add_argument("--stepA-solver", choices=["cg", "dct", "pallas", "auto"],
+    p.add_argument("--stepA-solver",
+                   choices=["cg", "dct", "dct-refined", "pallas", "auto"],
                    default="cg",
                    help="FOTO stepA backend: cg = reference-faithful "
                         "iterative solve; dct = exact spectral solve (MXU); "
-                        "pallas = dct + fused Pallas projection; auto = "
-                        "pallas on TPU, cg elsewhere")
+                        "dct-refined = bf16 spectral solve + f32 iterative "
+                        "refinement; pallas = dct + fused Pallas "
+                        "projection; auto = pallas on TPU, cg elsewhere")
     p.add_argument("--admm-alpha", type=float, default=1.0,
                    help="ADMM over-relaxation factor for FOTO (1.0 = exact "
                         "reference iteration; 1.5-1.8 typically converges "
@@ -150,7 +152,8 @@ def main(argv=None) -> int:
                 npts = args.Nt * rho1_d.shape[0] * rho1_d.shape[1]
                 solver = "pallas" if npts >= (1 << 22) else "dct"
         ops = {"cg": foto.DEFAULT_OPS, "dct": foto.DCT_OPS,
-               "pallas": foto.PALLAS_OPS}[solver]
+               "pallas": foto.PALLAS_OPS,
+               "dct-refined": foto.DCTRefinedOps()}[solver]
         result = foto.solve(
             rho1_d, rho2_d, args.Nt, r=args.r,
             convergence_tol=args.convergence_tol,

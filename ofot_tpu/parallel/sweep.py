@@ -94,8 +94,9 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         Nt = fp.pop("Nt", 16)
         solver = fp.pop("stepA_solver", "cg")
         if solver != "cg":
-            fp["ops"] = (foto.PALLAS_OPS if solver == "pallas"
-                         else foto.DCT_OPS)
+            fp["ops"] = {"pallas": foto.PALLAS_OPS,
+                         "dct-refined": foto.DCTRefinedOps()}.get(
+                             solver, foto.DCT_OPS)
 
         @jax.jit
         def run(a, b):

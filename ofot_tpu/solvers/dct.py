@@ -181,19 +181,19 @@ def _transform(x: jnp.ndarray, mat: jnp.ndarray, axis: int,
     return jnp.moveaxis(y, -1, axis)
 
 
-def dct3(x: jnp.ndarray) -> jnp.ndarray:
+def dct3(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Separable orthonormal DCT-II over the (Nt, Ny, Nx) axes."""
     Nt, Ny, Nx = x.shape[-3:]
     for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
-        x = _apply_axis(x, n, axis, inverse=False)
+        x = _apply_axis(x, n, axis, inverse=False, precision=precision)
     return x
 
 
-def idct3(x: jnp.ndarray) -> jnp.ndarray:
+def idct3(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Inverse of :func:`dct3` (transforms are orthonormal)."""
     Nt, Ny, Nx = x.shape[-3:]
     for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
-        x = _apply_axis(x, n, axis, inverse=True)
+        x = _apply_axis(x, n, axis, inverse=True, precision=precision)
     return x
 
 
@@ -206,27 +206,78 @@ def stepA_spectrum(Nt: int, Ny: int, Nx: int, r: float, reg_epsilon: float,
     return (-r * (lt + ly + lx) + r * reg_epsilon).astype(dtype)
 
 
+def _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon, dtype):
+    """In-graph spectrum of ``A = -r*L_st + r*eps*I``: assembled from three
+    1-D eigenvalue vectors (a dense (Nt, Ny, Nx) constant would be a
+    quarter-GB program blob at 4K resolution); the broadcast add fuses into
+    the consuming divide."""
+    lt = jnp.asarray(_neumann_eigenvalues_np(Nt).astype(dtype))
+    ly = jnp.asarray(_neumann_eigenvalues_np(Ny).astype(dtype))
+    lx = jnp.asarray(_neumann_eigenvalues_np(Nx).astype(dtype))
+    return (-r * (lt[:, None, None] + ly[None, :, None]
+                  + lx[None, None, :]) + r * reg_epsilon)
+
+
 @jax.jit
 def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
                     reg_epsilon: float = 1e-2) -> jnp.ndarray:
     """Exact solve of ``(-r*L_st + r*eps*I) phi = F`` via 3-D DCT.
 
-    The spectrum is assembled in-graph from three 1-D eigenvalue vectors
-    (a dense (Nt, Ny, Nx) constant would be a quarter-GB program blob at
-    4K resolution); the broadcast add fuses into the divide.  ``r`` and
-    ``reg_epsilon`` are traced (NOT static): callers like
+    ``r`` and ``reg_epsilon`` are traced (NOT static): callers like
     ``foto.solve_potential`` pass them as jit-traced scalars, and a traced
     value in a static argname poisons the jit cache key (the second call
     with a fresh tracer fails the cache-key equality check).
     """
     Nt, Ny, Nx = F.shape[-3:]
-    dtype = np.dtype(F.dtype)
-    lt = jnp.asarray(_neumann_eigenvalues_np(Nt).astype(dtype))
-    ly = jnp.asarray(_neumann_eigenvalues_np(Ny).astype(dtype))
-    lx = jnp.asarray(_neumann_eigenvalues_np(Nx).astype(dtype))
-    spec = (-r * (lt[:, None, None] + ly[None, :, None] + lx[None, None, :])
-            + r * reg_epsilon)
+    spec = _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon,
+                                   np.dtype(F.dtype))
     return idct3(dct3(F) / spec)
+
+
+def solve_stepA_dct_refined(F: jnp.ndarray, r=1.0, reg_epsilon=1e-2,
+                            refine: int = 3, precision=None):
+    """Spectral stepA with *low-precision* MXU transforms plus ``refine``
+    steps of f32 iterative refinement.
+
+    ``Precision.HIGHEST`` costs 6 bf16 MXU passes per matmul.  Here the
+    transforms run at ``precision`` (None -> DEFAULT = one bf16 pass) and
+    the accuracy is recovered by classic iterative refinement against the
+    exact f32 stencil operator ``A = -r*L_st + r*eps*I``:
+
+        phi  = M(F)                       # approximate spectral inverse
+        phi += M(F - A(phi))  x refine    # residual via cheap f32 stencil
+
+    Each refinement contracts the solve error by roughly the transform's
+    relative error amplified by the operator's conditioning.  Measured on
+    a real v5e at the production config (320x240, Nt=16, 200 ALG2 iters,
+    BENCHMARKS.md): bf16 needs ``refine=3`` to reach the production
+    convergence tolerance (crit 0.0096 vs HIGHEST's 0.0098; refine=1/2
+    stall at 0.031/0.015) — hence the default.  At (1+3)/6 of the
+    HIGHEST-precision MXU work this only pays off where the transforms
+    dominate the iteration (very large grids); at the production shape it
+    measured 0.57 vs 0.53 ms/iter, so HIGHEST stays the default solver.
+    Validated in tests/test_dct.py.
+    """
+    from ofot_tpu.ops import operators
+
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
+    Nt, Ny, Nx = F.shape[-3:]
+    spec = _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon,
+                                   np.dtype(F.dtype))
+
+    def M(b):
+        return idct3(dct3(b, precision=precision) / spec,
+                     precision=precision)
+
+    def A(phi):
+        return -r * operators.laplacian_st(phi, bc="N") \
+            + (r * reg_epsilon) * phi
+
+    phi = M(F)
+    for _ in range(refine):
+        phi = phi + M(F - A(phi))
+    return phi
 
 
 # ----------------------------------------------------------- 2-D (GN) case

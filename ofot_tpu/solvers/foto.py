@@ -78,6 +78,36 @@ class DCTOps(_DefaultOps):
         return solve_stepA_dct(F, r=r, reg_epsilon=reg_epsilon), jnp.int32(1)
 
 
+class DCTRefinedOps(DCTOps):
+    """Spectral stepA with low-precision MXU transforms + f32 iterative
+    refinement (ofot_tpu/solvers/dct.py:solve_stepA_dct_refined): the same
+    exact-solve accuracy class at (1+refine)/6 of the HIGHEST-precision MXU
+    work.  ``refine`` counts refinement steps (each = one cheap f32 stencil
+    residual + one low-precision spectral solve); bf16 transforms need 3 to
+    reach the production ALG2 tolerance (measured, see the solver
+    docstring)."""
+
+    def __init__(self, refine: int = 3, precision=None):
+        self.refine = int(refine)
+        self.precision = (jax.lax.Precision.DEFAULT if precision is None
+                          else precision)
+
+    def stepA_solve(self, F, r, reg_epsilon, cg_rtol, cg_maxiter):
+        from ofot_tpu.solvers.dct import solve_stepA_dct_refined
+        phi = solve_stepA_dct_refined(F, r=r, reg_epsilon=reg_epsilon,
+                                      refine=self.refine,
+                                      precision=self.precision)
+        return phi, jnp.int32(1 + self.refine)
+
+    def __hash__(self):
+        return hash((type(self), self.refine, self.precision))
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.refine == other.refine
+                and self.precision == other.precision)
+
+
 class PallasOps(DCTOps):
     """TPU production set: spectral stepA + one fused Pallas VMEM pass for
     stepB projection + stepC dual update + criterion partials

@@ -110,3 +110,54 @@ def test_foto_with_dct_matches_cg_path():
                                np.asarray(cg_run.phi), atol=1e-7)
     np.testing.assert_allclose(float(dct_run.crit), float(cg_run.crit),
                                rtol=1e-6)
+
+
+def test_stepA_dct_refined_matches_exact():
+    """Refined solve == exact solve (CPU matmuls are full f32, so this
+    pins the operator/spectrum agreement between M and the stencil A —
+    a mismatch would leave a refine-proportional residual)."""
+    Nt, Ny, Nx = 4, 12, 10
+    F = jnp.asarray(RNG.standard_normal((Nt, Ny, Nx)))
+    want = dct.solve_stepA_dct(F, r=1.0, reg_epsilon=1e-2)
+    for refine in (0, 1, 2):
+        got = dct.solve_stepA_dct_refined(F, r=1.0, reg_epsilon=1e-2,
+                                          refine=refine)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-10)
+
+
+def test_stepA_refined_contracts_transform_error():
+    """With a deliberately perturbed approximate inverse (standing in for
+    bf16 transforms), each refinement step contracts the solve error."""
+    Nt, Ny, Nx = 4, 10, 8
+    r, eps = 1.0, 1e-2
+    F = jnp.asarray(RNG.standard_normal((Nt, Ny, Nx)))
+    exact = np.asarray(dct.solve_stepA_dct(F, r=r, reg_epsilon=eps))
+    spec = np.asarray(dct._stepA_spectrum_ingraph(Nt, Ny, Nx, r, eps,
+                                                  np.float64))
+    pert = spec * (1.0 + 1e-2)          # 1% multiplicative solve error
+
+    def M(b):
+        return dct.idct3(dct.dct3(b) / jnp.asarray(pert))
+
+    def A(phi):
+        return -r * operators.laplacian_st(phi, bc="N") + r * eps * phi
+
+    phi = M(F)
+    errs = [float(jnp.max(jnp.abs(phi - exact)))]
+    for _ in range(3):
+        phi = phi + M(F - A(phi))
+        errs.append(float(jnp.max(jnp.abs(phi - exact))))
+    for a, b in zip(errs, errs[1:]):
+        assert b < 0.1 * a, errs
+
+
+def test_foto_with_refined_ops_matches_dct_ops():
+    f1, f2 = fixtures.translating_square(20)
+    kw = dict(r=1.0, convergence_tol=1e-6, reg_epsilon=1e-2, max_it=8)
+    base = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                                ops=foto.DCT_OPS, **kw)
+    ref = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                               ops=foto.DCTRefinedOps(), **kw)
+    np.testing.assert_allclose(np.asarray(ref.phi), np.asarray(base.phi),
+                               atol=1e-7)
