@@ -15,7 +15,7 @@ bugs (SURVEY.md §5 "race detection").
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -48,8 +48,20 @@ def solve_potential_tiled(rho0, rhoT, Nt: int, mesh: Mesh, *,
     if Ny // py < 2 or Nx // px < 2:
         raise ValueError("local tiles must be >= 2 pixels per sharded axis")
 
-    sops = ShardedOps(ax_y="y", ax_x="x", size_y=py, size_x=px)
+    fn = _tiled_fn(mesh, Nt, r, convergence_tol, reg_epsilon, max_it,
+                   cg_rtol, cg_maxiter)
+    return fn(rho0, rhoT)
 
+
+@lru_cache(maxsize=64)
+def _tiled_fn(mesh, Nt, r, convergence_tol, reg_epsilon, max_it,
+              cg_rtol, cg_maxiter):
+    """Jitted shard_map wrapper, cached per (mesh, params): jax.jit keys on
+    callable identity, so rebuilding the wrapper per call would recompile
+    the full ALG2 while_loop on every invocation (remote TPU compiles run
+    seconds to minutes here)."""
+    py, px = mesh.shape["y"], mesh.shape["x"]
+    sops = ShardedOps(ax_y="y", ax_x="x", size_y=py, size_x=px)
     fn = shard_map(
         partial(foto.alg2_loop, Nt=Nt, r=r,
                 convergence_tol=convergence_tol, reg_epsilon=reg_epsilon,
@@ -58,6 +70,5 @@ def solve_potential_tiled(rho0, rhoT, Nt: int, mesh: Mesh, *,
         mesh=mesh,
         in_specs=(P("y", "x"), P("y", "x")),
         out_specs=_state_specs(P(None, None, "y", "x"), P(None, "y", "x")),
-        
     )
-    return jax.jit(fn)(rho0, rhoT)
+    return jax.jit(fn)

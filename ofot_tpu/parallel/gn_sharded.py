@@ -15,7 +15,7 @@ Tile-vs-whole equivalence is asserted in tests/test_parallel.py.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +97,15 @@ def solve_fields_tiled(f1, f2, mesh: Mesh, alpha=0.1, lambda_=0.2,
     if Ny // py < 2 or Nx // px < 2:
         raise ValueError("local tiles must be >= 2 pixels per sharded axis")
 
+    fn = _tiled_gn_fn(mesh, alpha, lambda_, rtol, maxiter)
+    return fn(jnp.asarray(f1), jnp.asarray(f2))
+
+
+@lru_cache(maxsize=64)
+def _tiled_gn_fn(mesh, alpha, lambda_, rtol, maxiter):
+    """Jitted shard_map wrapper, cached per (mesh, params) — rebuilding it
+    per call would recompile the CG loop on every invocation."""
+    py, px = mesh.shape["y"], mesh.shape["x"]
     sops = halo.ShardedOps(ax_y="y", ax_x="x", size_y=py, size_x=px)
     fn = shard_map(
         partial(_gn_tile_solve, alpha=alpha, lambda_=lambda_, rtol=rtol,
@@ -108,4 +117,4 @@ def solve_fields_tiled(f1, f2, mesh: Mesh, alpha=0.1, lambda_=0.2,
             cg=CGResult(x=P(None, "y", "x"), iterations=P(),
                         residual=P(), converged=P())),
     )
-    return jax.jit(fn)(jnp.asarray(f1), jnp.asarray(f2))
+    return jax.jit(fn)

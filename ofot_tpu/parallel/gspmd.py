@@ -14,7 +14,7 @@ the explicitly-scheduled alternative for the hot CG loop.
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ofot_tpu.parallel.mesh import field_sharding
 from ofot_tpu.solvers import foto, gn
@@ -31,11 +31,9 @@ def solve_foto_sharded(rho0, rhoT, Nt: int, mesh: Mesh, **kw) -> foto.FotoState:
     axes.  Shapes must be divisible by the tile counts for best layouts
     (pad-to-bucket upstream if not)."""
     rho0, rhoT = shard_pair(rho0, rhoT, mesh)
-    out_sh = jax.tree.map(
-        lambda _: NamedSharding(mesh, P()), foto.init_state(rho0, rhoT, Nt))
-    # fields keep their (tiled) shardings; scalars replicated
-    state = foto.solve_potential(rho0, rhoT, Nt, **kw)
-    return state
+    # input shardings propagate: XLA keeps the fields (y, x)-tiled through
+    # the solve and replicates the scalar carry entries
+    return foto.solve_potential(rho0, rhoT, Nt, **kw)
 
 
 def solve_gn_sharded(f1, f2, mesh: Mesh, alpha=0.1, lambda_=0.2, **kw):

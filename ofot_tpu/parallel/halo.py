@@ -125,14 +125,6 @@ def grad_forward_adjoint_halo(f, h, bc, axis, ax_name, ax_size):
     return (_halo_shift(f, -1, axis, ax_name, ax_size) - f) / h
 
 
-def grad_central_d_halo(f, h, axis, ax_name, ax_size):
-    """Distributed ``stencils.grad_central`` with bc='D' (plain truncated
-    central stencil — the zero ghost at the global edge is exactly what
-    ppermute delivers to edge tiles)."""
-    return (_halo_shift(f, 1, axis, ax_name, ax_size)
-            - _halo_shift(f, -1, axis, ax_name, ax_size)) / (2.0 * h)
-
-
 # ------------------------------------------------------------------ context
 
 @dataclass(frozen=True)

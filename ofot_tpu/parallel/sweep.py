@@ -17,6 +17,7 @@ on the way out.
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -80,8 +81,6 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
     over the batch, batch axis shardable over ``data``.  This is the
     TPU-efficient form of the reference's sequential run.sh loop.
     """
-    from ofot_tpu.solvers import flow_extract
-
     f1s = jnp.asarray(f1s)
     f2s = jnp.asarray(f2s)
     if mesh is not None:
@@ -93,21 +92,50 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         fp = dict(foto_params or {})
         Nt = fp.pop("Nt", 16)
         solver = fp.pop("stepA_solver", "cg")
+        if solver == "auto":
+            # mirror the single-pair CLI's auto rule (cli/main.py): cg on
+            # cpu/gpu, else pallas for large grids, dct for small ones
+            if jax.devices()[0].platform in ("cpu", "gpu"):
+                solver = "cg"
+            else:
+                npts = Nt * int(f1s.shape[-2]) * int(f1s.shape[-1])
+                solver = "pallas" if npts >= (1 << 22) else "dct"
         if solver != "cg":
-            fp["ops"] = {"pallas": foto.PALLAS_OPS,
-                         "dct-refined": foto.DCTRefinedOps()}.get(
-                             solver, foto.DCT_OPS)
-
-        @jax.jit
-        def run(a, b):
-            st = jax.vmap(lambda p, q: foto.solve_potential(p, q, Nt, **fp))(a, b)
-            u, v, m = jax.vmap(flow_extract.flow_from_potential)(st.phi)
-            return u, v, m, {"iterations": st.iteration,
-                             "inner_iterations": st.cg_iterations,
-                             "crit": st.crit}
+            try:
+                fp["ops"] = {"pallas": foto.PALLAS_OPS,
+                             "dct": foto.DCT_OPS,
+                             "dct-refined": foto.DCTRefinedOps()}[solver]
+            except KeyError:
+                raise ValueError(f"unknown stepA_solver {solver!r}")
+        run = _batched_foto_fn(Nt, tuple(sorted(fp.items())))
         return run(f1s, f2s)
 
     gp = dict(gn_params or {})
+    run = _batched_gn_fn(tuple(sorted(gp.items())))
+    return run(f1s, f2s)
+
+
+@lru_cache(maxsize=64)
+def _batched_foto_fn(Nt, fp_items):
+    """Jitted batched FOTO program, cached per parameter set: jax.jit keys
+    on callable identity, so a fresh closure per call would recompile the
+    whole vmapped solve on every shape group / sweep invocation."""
+    from ofot_tpu.solvers import flow_extract
+    fp = dict(fp_items)
+
+    @jax.jit
+    def run(a, b):
+        st = jax.vmap(lambda p, q: foto.solve_potential(p, q, Nt, **fp))(a, b)
+        u, v, m = jax.vmap(flow_extract.flow_from_potential)(st.phi)
+        return u, v, m, {"iterations": st.iteration,
+                         "inner_iterations": st.cg_iterations,
+                         "crit": st.crit}
+    return run
+
+
+@lru_cache(maxsize=64)
+def _batched_gn_fn(gp_items):
+    gp = dict(gp_items)
 
     @jax.jit
     def run(a, b):
@@ -115,7 +143,7 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         return res.u, res.v, res.m, {
             "inner_iterations": res.cg.iterations,
             "converged": res.cg.converged}
-    return run(f1s, f2s)
+    return run
 
 
 def sweep_foto(pairs, Nt: int, mesh: Mesh | None = None, **kw):

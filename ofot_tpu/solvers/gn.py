@@ -79,6 +79,14 @@ def make_operator(f2, alpha, lambda_):
     Ny, Nx = f2.shape
     ld = _lap_diag(Ny, Nx, f2.dtype)
     d = jnp.stack([alpha * ld, alpha * ld, lambda_ * ld])   # diag of smooth part
+    return A, make_jacobi_block_preconditioner(g, d)
+
+
+def make_jacobi_block_preconditioner(g, d):
+    """Shared pointwise Sherman–Morrison block-Jacobi preconditioner for
+    the GN/Horn–Schunck normal equations: per pixel, the exact inverse of
+    ``diag(d) + g g^T`` (k x k, rank-1 data block on the smoothness
+    diagonal ``d``)."""
     dinv = 1.0 / d
     denom = 1.0 + jnp.sum(g * g * dinv, axis=0)
 
@@ -87,7 +95,34 @@ def make_operator(f2, alpha, lambda_):
         t = jnp.sum(g * dinv * rhs, axis=0)
         return dinv * rhs - dinv * g * (t / denom)[None]
 
-    return A, M
+    return M
+
+
+def make_spectral_block_preconditioner(g, coefs, precision=None):
+    """Shared k-component spectral (DCT) preconditioner used by the GN and
+    Horn–Schunck solvers: per component i, the exact inverse of
+    ``coefs[i] * (-L) + mean(g_i^2) * I`` in the 2-D DCT-II basis.
+
+    ``g`` is the (k, Ny, Nx) per-pixel data direction; ``coefs`` the k
+    smoothness weights.  Entries where the spectrum is exactly zero — the
+    DC mode of a component whose data term vanishes identically, e.g.
+    fx == 0 for frames constant along x — act as identity instead of
+    producing 0/0 = NaN (the operator itself is singular there and the
+    corresponding rhs component is zero, so CG never excites the mode)."""
+    from ofot_tpu.solvers import dct as dct_mod
+
+    k, Ny, Nx = g.shape
+    lam = jnp.asarray(dct_mod.neg_lap2d_spectrum(Ny, Nx, np.dtype(g.dtype)))
+    coef = jnp.stack([jnp.full((), c, g.dtype) for c in coefs])
+    c = jnp.mean(g * g, axis=(-2, -1))            # mean data diagonal
+    spec = coef[:, None, None] * lam[None] + c[:, None, None]
+    spec = jnp.where(spec == 0, jnp.ones((), g.dtype), spec)
+
+    def M(rhs):
+        return dct_mod.idct2(dct_mod.dct2(rhs, precision=precision) / spec,
+                             precision=precision)
+
+    return M
 
 
 def make_spectral_preconditioner(f2, alpha, lambda_, precision=None):
@@ -106,24 +141,10 @@ def make_spectral_preconditioner(f2, alpha, lambda_, precision=None):
     ~10% lower wall (26.7 vs 29.8 ms), solutions equal to 5e-6.  Default
     stays HIGHEST: bf16 rounding makes M very slightly non-symmetric,
     which standard PCG theory does not cover, and the gain is small."""
-    from ofot_tpu.solvers import dct as dct_mod
-
     fx, fy = image_gradients(f2)
     g = jnp.stack([fx, fy, -f2])
-    Ny, Nx = f2.shape
-    lam = jnp.asarray(dct_mod.neg_lap2d_spectrum(Ny, Nx,
-                                                 np.dtype(f2.dtype)))
-    coef = jnp.stack([jnp.full((), alpha, f2.dtype),
-                      jnp.full((), alpha, f2.dtype),
-                      jnp.full((), lambda_, f2.dtype)])
-    c = jnp.mean(g * g, axis=(-2, -1))            # mean data diagonal
-    spec = coef[:, None, None] * lam[None] + c[:, None, None]
-
-    def M(rhs):
-        return dct_mod.idct2(dct_mod.dct2(rhs, precision=precision) / spec,
-                             precision=precision)
-
-    return M
+    return make_spectral_block_preconditioner(
+        g, (alpha, alpha, lambda_), precision=precision)
 
 
 @partial(jax.jit, static_argnames=("maxiter", "precond"))

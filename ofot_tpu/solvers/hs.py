@@ -24,7 +24,9 @@ import numpy as np
 
 from ofot_tpu.ops import operators
 from ofot_tpu.solvers.cg import cg, CGResult
-from ofot_tpu.solvers.gn import image_gradients, _lap_diag
+from ofot_tpu.solvers.gn import (image_gradients, _lap_diag,
+                                 make_jacobi_block_preconditioner,
+                                 make_spectral_block_preconditioner)
 
 
 class HSResult(NamedTuple):
@@ -50,23 +52,11 @@ def solve_fields(f1, f2, alpha=0.1, rtol=1e-10, maxiter=5000,
 
     Ny, Nx = f2.shape
     if precond == "spectral":
-        from ofot_tpu.solvers import dct as dct_mod
-        lam = jnp.asarray(dct_mod.neg_lap2d_spectrum(Ny, Nx,
-                                                     np.dtype(f2.dtype)))
-        c = jnp.mean(g * g, axis=(-2, -1))
-        spec = alpha * lam[None] + c[:, None, None]
-
-        def M(rhs):
-            return dct_mod.idct2(dct_mod.dct2(rhs) / spec)
+        M = make_spectral_block_preconditioner(g, (alpha, alpha))
     else:
         ld = _lap_diag(Ny, Nx, f2.dtype)
-        d = jnp.stack([alpha * ld, alpha * ld])
-        dinv = 1.0 / d
-        denom = 1.0 + jnp.sum(g * g * dinv, axis=0)
-
-        def M(rhs):
-            t = jnp.sum(g * dinv * rhs, axis=0)
-            return dinv * rhs - dinv * g * (t / denom)[None]
+        M = make_jacobi_block_preconditioner(
+            g, jnp.stack([alpha * ld, alpha * ld]))
 
     b = jnp.stack([-fx * ft, -fy * ft])
     res = cg(A, b, rtol=rtol, maxiter=maxiter, M=M)

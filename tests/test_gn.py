@@ -95,3 +95,19 @@ def test_class_api():
     u, v, m = solver.assemble(f1.ravel(), f2.ravel()).process()
     assert u.shape == (72,) and v.shape == (72,) and m.shape == (72,)
     assert np.isfinite(u).all()
+
+
+def test_spectral_precond_handles_vanishing_gradients():
+    """Frames constant along an axis give fx == 0, whose mean data diagonal
+    is 0 — the DC mode of the spectral preconditioner must act as identity
+    instead of dividing 0/0 into NaNs (regression: all-NaN default solve)."""
+    import numpy as np
+    y = np.mgrid[0:16, 0:20][0].astype(np.float32)
+    f1 = jnp.asarray(np.sin(y / 3) * 0.25 + 0.5)     # horizontal stripes
+    r = gn.solve_fields(f1, f1 * 1.01)
+    for field in (r.u, r.v, r.m):
+        assert np.all(np.isfinite(np.asarray(field)))
+    # flat frames: zero flow, finite
+    flat = jnp.full((12, 14), 0.5)
+    r2 = gn.solve_fields(flat, flat)
+    assert np.all(np.isfinite(np.asarray(r2.u)))

@@ -35,3 +35,14 @@ def test_identical_frames_zero_flow():
     f1, _ = fixtures.smooth_blob_pair(10, 10)
     r = hs.solve_fields(jnp.asarray(f1), jnp.asarray(f1))
     assert float(jnp.abs(r.u).max()) < 1e-8
+
+
+def test_hs_spectral_precond_handles_vanishing_gradients():
+    """Same zero-DC regression as GN: constant-along-an-axis frames must
+    not produce NaN flow on the default spectral path."""
+    import numpy as np
+    y = np.mgrid[0:16, 0:20][0].astype(np.float32)
+    f1 = jnp.asarray(np.sin(y / 3) * 0.25 + 0.5)
+    res = hs.solve_fields(f1, f1 * 1.01)
+    assert np.all(np.isfinite(np.asarray(res.u)))
+    assert np.all(np.isfinite(np.asarray(res.v)))
