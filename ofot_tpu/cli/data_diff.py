@@ -28,7 +28,10 @@ def main(argv=None) -> int:
 
     diff = f2 - f1
     diff = diff - np.min(diff)
-    diff = diff / np.max(diff)
+    # identical frames (static scene) make max(diff) == 0: render mid-gray
+    # instead of 0/0 = NaN garbage (the reference shares this hole)
+    rng = np.max(diff)
+    diff = diff / rng if rng > 0 else np.full_like(diff, 0.5)
     image.save_grayscale(diff, args.out)
     return 0
 

@@ -118,8 +118,7 @@ def main(argv=None) -> int:
     print(" - f1 = " + str(args.f1) + " / total mass = " + str(np.sum(f2)))
     if args.normalize is True:
         print(" - normalize input images")
-        rho1 = f1 / np.sum(f1)
-        rho2 = f2 / np.sum(f2)
+        rho1, rho2 = image.mass_normalize(f1, f2)
     else:
         rho1 = f1
         rho2 = f2
@@ -140,20 +139,10 @@ def main(argv=None) -> int:
         print(f"\t - reg_epsilon={args.reg_epsilon}")
         print(f"\t - max_it={args.max_it}")
         init = load_state(args.resume) if args.resume else None
-        solver = args.stepA_solver
-        if solver == "auto":
-            if jax.devices()[0].platform in ("cpu", "gpu"):
-                solver = "cg"
-            else:
-                # measured on v5e (BENCHMARKS.md): the fused Pallas
-                # pointwise pass wins at large grids (16.9 vs 18.1 ms/iter
-                # at 1080p) but loses to XLA's own fusion at small ones
-                # (0.73 vs 0.68 ms/iter at 320x240) — split at ~4M points
-                npts = args.Nt * rho1_d.shape[0] * rho1_d.shape[1]
-                solver = "pallas" if npts >= (1 << 22) else "dct"
-        ops = {"cg": foto.DEFAULT_OPS, "dct": foto.DCT_OPS,
-               "pallas": foto.PALLAS_OPS,
-               "dct-refined": foto.DCTRefinedOps()}[solver]
+        solver = foto.resolve_stepA_solver(
+            args.stepA_solver, jax.devices()[0].platform,
+            args.Nt * rho1_d.shape[0] * rho1_d.shape[1])
+        ops = foto.stepA_ops(solver)
         result = foto.solve(
             rho1_d, rho2_d, args.Nt, r=args.r,
             convergence_tol=args.convergence_tol,

@@ -249,7 +249,7 @@ def cmd_run(args) -> int:
     manifest_path = results / manifest_name
     manifest = (json.loads(manifest_path.read_text())
                 if manifest_path.exists() else {})
-    algos = args.algos.split(",")
+    algos = _validate_algos(args.algos)
     extra = []
     if args.platform:
         extra.append(f"--platform={args.platform}")
@@ -281,15 +281,35 @@ def cmd_run(args) -> int:
             entry = manifest.setdefault(f"{ds_name}/{seq.name}", {})
             for algo in algos:
                 print(f"== {ds_name}/{seq.name} [{algo}] ==", flush=True)
-                entry[algo] = _run_algo(algo, frame10, frame11, out_dir,
-                                        extra, ground_truth=gt,
-                                        maxmotion=maxmotion)
+                res = _run_algo(algo, frame10, frame11, out_dir,
+                                extra, ground_truth=gt,
+                                maxmotion=maxmotion)
+                # a cached re-run must not clobber the original entry's
+                # status/wall_s data
+                if res.get("status") != "cached" or algo not in entry:
+                    entry[algo] = res
                 manifest_path.write_text(json.dumps(manifest, indent=1))
     return 0
 
 
+def _validate_algos(algos_csv: str) -> list[str]:
+    """The sweep supports exactly the reference run.sh's two algorithms;
+    anything else must fail loudly instead of silently running as one of
+    them (single-pair runs of other solvers go through cli/main.py)."""
+    algos = algos_csv.split(",")
+    bad = [a for a in algos if a not in ("GN", "foto")]
+    if bad:
+        raise SystemExit(f"unknown --algos entries {bad}; the sweep runs "
+                         "'GN' and/or 'foto' (reference run.sh:81-157)")
+    return algos
+
+
 def _batched_params(extra: str):
-    """Parse the subset of CLI overrides that apply to batched solves."""
+    """Parse the subset of CLI overrides that apply to batched solves.
+
+    Keys match with argparse-style unambiguous prefixes so e.g.
+    ``--lambda=0.4`` reaches ``lambdaa`` exactly like the per-sequence
+    path's argparse does (SURVEY.md §2 quirk 4)."""
     foto_params = dict(Nt=16, r=1.0, convergence_tol=0.01,
                        reg_epsilon=1e-2, max_it=200)
     gn_params = dict(alpha=0.1, lambda_=0.2)
@@ -305,8 +325,10 @@ def _batched_params(extra: str):
         if not tok.startswith("--") or "=" not in tok:
             continue
         k, v = tok[2:].split("=", 1)
-        if k in key_map:
-            which, name, cast = key_map[k]
+        matches = ([k] if k in key_map else
+                   [key for key in key_map if key.startswith(k)])
+        if len(matches) == 1:
+            which, name, cast = key_map[matches[0]]
             (foto_params if which == "foto" else gn_params)[name] = cast(v)
     return foto_params, gn_params
 
@@ -329,12 +351,17 @@ def cmd_run_batch(args) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    dtype = np.float32
+    if args.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+        dtype = np.float64
 
     data = Path(args.data_root)
     results = Path(args.results)
     manifest_path = results / "manifest.json"
     manifest = (json.loads(manifest_path.read_text())
                 if manifest_path.exists() else {})
+    algos = _validate_algos(args.algos)
     foto_params, gn_params = _batched_params(args.extra_args)
     mesh = (make_mesh({"data": args.data_parallel})
             if args.data_parallel > 1 else None)
@@ -344,6 +371,7 @@ def cmd_run_batch(args) -> int:
         out_root = results / ds_name
         out_root.mkdir(parents=True, exist_ok=True)
         loaded = []
+        gts = {}
         for seq in _sequences(ds):
             out_dir = out_root / seq.name
             out_dir.mkdir(exist_ok=True)
@@ -352,9 +380,16 @@ def cmd_run_batch(args) -> int:
             data_diff.main([str(seq / "frame10.png"),
                             str(seq / "frame11.png"),
                             str(out_dir / "diff.png")])
-            loaded.append((seq.name, np.float32(f1), np.float32(f2)))
+            gt = _ground_truth_flo(ds, seq.name)
+            if gt is not None:
+                maxmotion = _gt_maxmotion(gt)
+                if not (out_dir / "flow10.png").exists():
+                    color_flow(gt, out_dir / "flow10.png", maxmotion)
+                _, _, uGT, vGT = flo_mod.read_flo(str(gt))
+                gts[seq.name] = (maxmotion, uGT, vGT)
+            loaded.append((seq.name, f1.astype(dtype), f2.astype(dtype)))
 
-        for algo in args.algos.split(","):
+        for algo in algos:
             pending = [(k, a, b) for k, a, b in loaded
                        if not (out_root / k /
                                f".out.{algo.lower()}.sucess").exists()]
@@ -385,12 +420,26 @@ def cmd_run_batch(args) -> int:
                     flo_mod.write_flo(w, h, u[i].ravel(), v[i].ravel(),
                                       f"{pre}.flo")
                     ie = metrics.IE(w, h, rec[i], f2s[i])
+                    gt = gts.get(key)
                     with open(f"{pre}.benchmark.txt", "w") as f:
+                        if gt is not None:
+                            # same layout as main.py / reference
+                            # main.py:125-134
+                            maxmotion, uGT, vGT = gt
+                            aee, sdee = metrics.EE(w, h, u[i].ravel(),
+                                                   v[i].ravel(), uGT, vGT)
+                            aae, sdae = metrics.AE(w, h, u[i].ravel(),
+                                                   v[i].ravel(), uGT, vGT)
+                            f.write("EE-mean: " + str(aee) + "\n")
+                            f.write("EE-stddev: " + str(sdee) + "\n")
+                            f.write("AE-mean: " + str(aae) + "\n")
+                            f.write("AE-stddev: " + str(sdae) + "\n")
                         f.write("IE: " + str(ie) + "\n")
                         f.write("time: " + str(wall / n) + "s")
                     img.save_grayscale(rec[i], f"{pre}.rec.png")
                     img.save_grayscale((m[i] + 1) / 2, f"{pre}.lum.png")
-                    color_flow(Path(f"{pre}.flo"), Path(f"{pre}.png"))
+                    color_flow(Path(f"{pre}.flo"), Path(f"{pre}.png"),
+                               gt[0] if gt is not None else None)
                     (out_dir / f".out.{algo.lower()}.sucess").touch()
                     entry = manifest.setdefault(f"{ds_name}/{key}", {})
                     entry[algo] = {"algo": algo, "status": "ok",

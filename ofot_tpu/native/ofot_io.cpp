@@ -42,6 +42,13 @@ PyObject* read_grayscale_png(PyObject*, PyObject* args) {
         PyErr_SetString(PyExc_RuntimeError, "png struct alloc failed");
         return nullptr;
     }
+    // Declared BEFORE setjmp: a libpng longjmp must not jump over the
+    // initialization of non-trivial objects (UB + leaked buffers on every
+    // corrupt PNG); constructed empty here, they are live at the jump
+    // target and their destructors run on the error return below.
+    std::vector<unsigned char> img;
+    std::vector<png_bytep> rows;
+    std::vector<unsigned char> out;
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
         std::fclose(f);
@@ -73,14 +80,14 @@ PyObject* read_grayscale_png(PyObject*, PyObject* args) {
 
     int channels = png_get_channels(png, info);
     size_t rowbytes = png_get_rowbytes(png, info);
-    std::vector<unsigned char> img(rowbytes * h);
-    std::vector<png_bytep> rows(h);
+    img.resize(rowbytes * h);
+    rows.resize(h);
     for (png_uint_32 y = 0; y < h; ++y)
         rows[y] = img.data() + static_cast<size_t>(y) * rowbytes;
     png_read_image(png, rows.data());
     png_read_end(png, nullptr);
 
-    std::vector<unsigned char> out(static_cast<size_t>(w) * h);
+    out.resize(static_cast<size_t>(w) * h);
     for (png_uint_32 y = 0; y < h; ++y) {
         const unsigned char* src = rows[y];
         unsigned char* dst = &out[static_cast<size_t>(y) * w];

@@ -91,22 +91,11 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
     if algo == "foto":
         fp = dict(foto_params or {})
         Nt = fp.pop("Nt", 16)
-        solver = fp.pop("stepA_solver", "cg")
-        if solver == "auto":
-            # mirror the single-pair CLI's auto rule (cli/main.py): cg on
-            # cpu/gpu, else pallas for large grids, dct for small ones
-            if jax.devices()[0].platform in ("cpu", "gpu"):
-                solver = "cg"
-            else:
-                npts = Nt * int(f1s.shape[-2]) * int(f1s.shape[-1])
-                solver = "pallas" if npts >= (1 << 22) else "dct"
+        solver = foto.resolve_stepA_solver(
+            fp.pop("stepA_solver", "cg"), jax.devices()[0].platform,
+            Nt * int(f1s.shape[-2]) * int(f1s.shape[-1]))
         if solver != "cg":
-            try:
-                fp["ops"] = {"pallas": foto.PALLAS_OPS,
-                             "dct": foto.DCT_OPS,
-                             "dct-refined": foto.DCTRefinedOps()}[solver]
-            except KeyError:
-                raise ValueError(f"unknown stepA_solver {solver!r}")
+            fp["ops"] = foto.stepA_ops(solver)
         run = _batched_foto_fn(Nt, tuple(sorted(fp.items())))
         return run(f1s, f2s)
 

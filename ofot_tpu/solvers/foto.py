@@ -130,6 +130,32 @@ DCT_OPS = DCTOps()
 PALLAS_OPS = PallasOps()
 
 
+def resolve_stepA_solver(solver: str, platform: str, npts: int) -> str:
+    """Resolve the user-facing stepA solver name (shared by the CLI and the
+    batched sweep so both always pick the same backend for the same grid).
+
+    ``auto``: reference-faithful CG on cpu/gpu; on TPU the fused Pallas
+    pointwise pass for large grids, plain spectral for small ones —
+    measured crossover on v5e (BENCHMARKS.md): pallas wins at 1080p
+    (16.9 vs 18.1 ms/iter) but loses at 320x240 (0.73 vs 0.68), split at
+    ~4M space-time points.
+    """
+    if solver == "auto":
+        if platform in ("cpu", "gpu"):
+            return "cg"
+        return "pallas" if npts >= (1 << 22) else "dct"
+    return solver
+
+
+def stepA_ops(solver: str):
+    """Map a resolved solver name to its ops set (ValueError on unknown)."""
+    try:
+        return {"cg": DEFAULT_OPS, "dct": DCT_OPS, "pallas": PALLAS_OPS,
+                "dct-refined": DCTRefinedOps()}[solver]
+    except KeyError:
+        raise ValueError(f"unknown stepA_solver {solver!r}")
+
+
 class FotoState(NamedTuple):
     """Carry of the ALG2 loop — also the checkpointable solver state."""
     mu: jnp.ndarray        # (3, Nt, Ny, Nx)  density + momenta

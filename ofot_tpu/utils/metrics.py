@@ -9,51 +9,59 @@ including their filtering quirks (SURVEY.md §2 quirk 7):
     pixels (arccos argument out of [-1, 1], reference utils.py:331-335);
   * both return population (not sample) standard deviations;
   * IE is the RMS image difference scaled by 255 (reference utils.py:354).
+
+These run in **host numpy**, not jax: every caller evaluates them once on
+small host arrays after the solve, and on this environment's remote TPU
+platform each eager jnp op is a separate device dispatch (seconds to
+minutes of compile/tunnel latency per op per shape) for microseconds of
+arithmetic.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
 
 def _masked_mean_std(values, mask):
-    cnt = jnp.sum(mask)
-    mean = jnp.sum(jnp.where(mask, values, 0.0)) / cnt
-    var = jnp.sum(jnp.where(mask, (values - mean) ** 2, 0.0)) / cnt
-    return mean, jnp.sqrt(var)
+    cnt = np.sum(mask)
+    mean = np.sum(np.where(mask, values, 0.0)) / cnt
+    var = np.sum(np.where(mask, (values - mean) ** 2, 0.0)) / cnt
+    return mean, np.sqrt(var)
 
 
 def endpoint_error(u, v, u_gt, v_gt, outlier_threshold: float = 50.0):
     """(mean, stddev) endpoint error, ignoring pixels with EE > 50."""
-    ee = jnp.sqrt((u - u_gt) ** 2 + (v - v_gt) ** 2)
+    ee = np.sqrt((u - u_gt) ** 2 + (v - v_gt) ** 2)
     return _masked_mean_std(ee, ee <= outlier_threshold)
 
 
 def angular_error(u, v, u_gt, v_gt):
     """(mean, stddev) angular error in radians, NaN pixels dropped."""
     cosang = (1.0 + u * u_gt + v * v_gt) / (
-        jnp.sqrt(1.0 + u * u + v * v) * jnp.sqrt(1.0 + u_gt * u_gt + v_gt * v_gt))
-    ae = jnp.arccos(cosang)          # NaN when |cosang| > 1, like the reference
-    mask = ~jnp.isnan(ae)
-    return _masked_mean_std(jnp.where(mask, ae, 0.0), mask)
+        np.sqrt(1.0 + u * u + v * v) * np.sqrt(1.0 + u_gt * u_gt + v_gt * v_gt))
+    with np.errstate(invalid="ignore"):
+        ae = np.arccos(cosang)       # NaN when |cosang| > 1, like the reference
+    mask = ~np.isnan(ae)
+    return _masked_mean_std(np.where(mask, ae, 0.0), mask)
 
 
 def interpolation_error(image, image_gt):
     """RMS image error on the 255 scale (scalar)."""
-    diff = 255.0 * (jnp.asarray(image) - jnp.asarray(image_gt))
-    return jnp.sqrt(jnp.sum(diff * diff) / diff.size)
+    diff = 255.0 * (np.asarray(image, dtype=np.float64)
+                    - np.asarray(image_gt, dtype=np.float64))
+    return np.sqrt(np.sum(diff * diff) / diff.size)
 
 
 # reference-style aliases operating on flat arrays
 def EE(w, h, u, v, u_gt, v_gt):
-    m, s = endpoint_error(jnp.asarray(u), jnp.asarray(v),
-                          jnp.asarray(u_gt), jnp.asarray(v_gt))
+    m, s = endpoint_error(np.asarray(u), np.asarray(v),
+                          np.asarray(u_gt), np.asarray(v_gt))
     return float(m), float(s)
 
 
 def AE(w, h, u, v, u_gt, v_gt):
-    m, s = angular_error(jnp.asarray(u), jnp.asarray(v),
-                         jnp.asarray(u_gt), jnp.asarray(v_gt))
+    m, s = angular_error(np.asarray(u), np.asarray(v),
+                         np.asarray(u_gt), np.asarray(v_gt))
     return float(m), float(s)
 
 

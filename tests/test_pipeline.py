@@ -48,10 +48,13 @@ def test_sweep_artifacts_and_resume(tmp_path):
     manifest = json.loads((tmp_path / "results" / "manifest.json").read_text())
     assert manifest["middlebury-1/seq0"]["GN"]["status"] == "ok"
 
-    # second run resumes from flags
+    # second run resumes from flags and must NOT clobber the original
+    # entry's status/wall_s with a bare "cached" record
+    wall = manifest["middlebury-1/seq0"]["GN"]["wall_s"]
     assert pipeline.main(args) == 0
     manifest = json.loads((tmp_path / "results" / "manifest.json").read_text())
-    assert manifest["middlebury-1/seq0"]["GN"]["status"] == "cached"
+    assert manifest["middlebury-1/seq0"]["GN"]["status"] == "ok"
+    assert manifest["middlebury-1/seq0"]["GN"]["wall_s"] == wall
 
 
 def test_middlebury2_ground_truth_path(tmp_path):
@@ -66,3 +69,52 @@ def test_middlebury2_ground_truth_path(tmp_path):
     txt = (seq / "gn.benchmark.txt").read_text()
     assert txt.startswith("EE-mean: ")           # GT metrics present
     assert "AE-mean:" in txt
+
+
+def test_unknown_algo_rejected(tmp_path):
+    _mk_mb1(tmp_path / "data")
+    args = ["run", "--data-root", str(tmp_path / "data"),
+            "--results", str(tmp_path / "results"),
+            "--datasets", "middlebury-1", "--algos", "HS",
+            "--platform=cpu"]
+    with pytest.raises(SystemExit):
+        pipeline.main(args)
+
+
+def test_batched_params_prefix_matching():
+    """--lambda must reach lambdaa like argparse prefix matching does on
+    the per-sequence path (SURVEY.md quirk 4); ambiguous prefixes skip."""
+    fp, gp = pipeline._batched_params("--lambda=0.4 --conv=0.2 --a=9")
+    assert gp["lambda_"] == 0.4
+    assert fp["convergence_tol"] == 0.2
+    assert gp["alpha"] == 0.1          # "--a" is ambiguous (alpha/admm-alpha)
+
+
+def test_batch_mode_ground_truth_metrics(tmp_path):
+    """Batched sweep writes the same GT artifacts as the per-sequence
+    path: flow10.png and EE/AE lines in benchmark.txt."""
+    _mk_mb2(tmp_path / "data")
+    args = ["run", "--batch", "--data-root", str(tmp_path / "data"),
+            "--results", str(tmp_path / "results"),
+            "--datasets", "middlebury-2", "--algos", "GN",
+            "--platform=cpu"]
+    assert pipeline.main(args) == 0
+    seq = tmp_path / "results" / "middlebury-2" / "GTSeq"
+    assert (seq / "flow10.png").exists()
+    txt = (seq / "gn.benchmark.txt").read_text()
+    assert txt.startswith("EE-mean: ")
+    assert "AE-mean:" in txt and "IE:" in txt
+
+
+def test_data_diff_identical_frames(tmp_path):
+    """Static scenes (f1 == f2) must render mid-gray, not NaN garbage."""
+    from ofot_tpu.cli import data_diff
+    from ofot_tpu.utils import image as img
+    f, _ = fixtures.translating_square(16)
+    img.save_grayscale(f, str(tmp_path / "a.png"))
+    img.save_grayscale(f, str(tmp_path / "b.png"))
+    assert data_diff.main([str(tmp_path / "a.png"), str(tmp_path / "b.png"),
+                           str(tmp_path / "d.png")]) == 0
+    d, w, h = img.open_grayscale(str(tmp_path / "d.png"))
+    assert np.all(np.isfinite(d))
+    assert np.allclose(d, d.ravel()[0])       # uniform gray
