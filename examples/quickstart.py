@@ -40,7 +40,7 @@ def main():
     print(f"  iterations={int(res.state.iteration)} "
           f"crit={float(res.state.crit):.4f} "
           f"IE={metrics.IE(n, n, rec, f2):.3f} "
-          f"mean|u|={float(jnp.abs(res.u).mean()):.2f}")
+          f"mean|u|={float(np.abs(np.asarray(res.u)).mean()):.2f}")
 
     print("== GN (Gennert-Negahdaripour variational) ==")
     r = gn.solve_fields(jnp.asarray(f1), jnp.asarray(f2), 0.1, 0.2)

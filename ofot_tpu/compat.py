@@ -42,7 +42,13 @@ def saveFlo(w, h, u, v, pathname):
 def apply_opticalflow(f1, u, v, w, h, m=None):
     import jax.numpy as jnp
     from ofot_tpu.utils.warp import apply_flow
-    m2 = None if m is None else jnp.asarray(np.asarray(m).reshape(h, w))
+    # the reference's no-luminosity sentinel is np.array([None]) (an
+    # object-dtype array, reference utils.py:186,202) — accept it, plain
+    # None, or a real (w*h,) field
+    m_np = None if m is None else np.asarray(m)
+    if m_np is not None and m_np.dtype == object:
+        m_np = None
+    m2 = None if m_np is None else jnp.asarray(m_np.reshape(h, w))
     out = apply_flow(jnp.asarray(np.asarray(f1).reshape(h, w)),
                      jnp.asarray(np.asarray(u).reshape(h, w)),
                      jnp.asarray(np.asarray(v).reshape(h, w)), m2)

@@ -10,12 +10,14 @@ Two kernels cover ~all of an ALG2 iteration's inner work:
     ``y = -r * L_st(x) + r*eps*x`` (7-point space-time Laplacian fused with
     the axpy), executed entirely in VMEM.
 
-Both hold whole (Nt, Ny, Nx) fp32 fields in VMEM — at the reference's
-production shape (16, 240, 320) that is ~4.9 MB, well under the ~16 MB/core
-budget; larger grids fall back to the XLA stencil path (see
-``fits_in_vmem``).  Transcendentals (cbrt via exp/log, arccos via
-atan2-free polynomial-ready forms) are expressed with ops Mosaic lowers
-natively.
+``cg_operator_pallas`` holds whole (Nt, Ny, Nx) fp32 fields in VMEM — at
+the reference's production shape (16, 240, 320) that is ~4.9 MB, well
+under the ~16 MB/core budget; ``fits_in_vmem`` is the advisory sizing
+check for callers that want to gate it (the production solver selection
+happens in ``foto.resolve_stepA_solver``, and the chunked pointwise
+kernels never exceed VMEM).  Transcendentals (cbrt via exp/log, arccos
+via atan2-free polynomial-ready forms) are expressed with ops Mosaic
+lowers natively.
 """
 
 from __future__ import annotations

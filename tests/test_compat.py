@@ -66,3 +66,17 @@ def test_against_reference_functions():
                 atol=1e-12)
     finally:
         sys.path.remove(REF)
+
+
+def test_apply_opticalflow_reference_sentinel():
+    """The reference's no-luminosity default is np.array([None]) (object
+    dtype, reference utils.py:186) — a ported caller passing it explicitly
+    must get the plain warp, same as m=None."""
+    h, w = 6, 7
+    rng = np.random.RandomState(3)
+    f1 = rng.rand(h * w)
+    u = rng.randn(h * w) * 0.5
+    v = rng.randn(h * w) * 0.5
+    plain = compat.apply_opticalflow(f1, u, v, w, h, None)
+    sentinel = compat.apply_opticalflow(f1, u, v, w, h, np.array([None]))
+    np.testing.assert_allclose(sentinel, plain)
