@@ -106,6 +106,91 @@ def _fft_threshold() -> int:
     return 1024 if jax.default_backend() == "cpu" else (1 << 30)
 
 
+# ------------------------------------------------------- folded transforms
+#
+# DCT-II even/odd symmetry: C[k, n-1-i] = (-1)^k * C[k, i].  So for even n
+# the n x n transform splits into two (n/2 x n/2) matmuls on the folded
+# inputs u = x_lo + reverse(x_hi) (even frequencies) and v = x_lo -
+# reverse(x_hi) (odd frequencies) — HALF the MXU work.  The catch is the
+# output lands in even-first permuted frequency order; a spectral *solve*
+# never needs natural order, so the pointwise divide just uses identically
+# permuted eigenvalues and the permutation costs nothing (the public
+# dct3/idct3 keep natural order and never fold).  Folding only pays once
+# n/2 spans at least one full 128-lane MXU tile, hence the n > 128 gate
+# (at exactly n = 128 the folded halves pad back up to 128 and lose 2x).
+
+_FOLD_MIN_N = 128
+
+
+def _axis_mode(n: int) -> str:
+    """Transform route for one axis: 'fft' (large-axis CPU), 'fold'
+    (even/odd-split MXU matmuls, solve paths only), or 'dense'."""
+    if n > _fft_threshold():
+        return "fft"
+    if n % 2 == 0 and n > _FOLD_MIN_N:
+        return "fold"
+    return "dense"
+
+
+def _folded_matrix_jnp(n: int, dtype, odd: bool) -> jnp.ndarray:
+    """On-device (n/2, n/2) even- or odd-frequency half of the DCT-II
+    matrix (same exact int32 angle reduction as :func:`_dct_matrix_jnp`)."""
+    h = n // 2
+    m = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+    k = 2 * m + (1 if odd else 0)
+    phase = (k * (2 * i + 1)) % (4 * n)
+    ang = (jnp.pi / (2.0 * n)) * phase.astype(dtype)
+    C = jnp.sqrt(jnp.asarray(2.0 / n, dtype)) * jnp.cos(ang)
+    if not odd:
+        C = jnp.where(k == 0, C / jnp.sqrt(jnp.asarray(2.0, dtype)), C)
+    return jax.lax.optimization_barrier(C)
+
+
+def _folded_matrices(n: int, dtype):
+    """(E, O): rows are the even / odd frequencies of the DCT-II matrix,
+    columns restricted to i < n/2 (the symmetric half)."""
+    if n > _DEVICE_GEN_THRESHOLD:
+        return (_folded_matrix_jnp(n, dtype, odd=False),
+                _folded_matrix_jnp(n, dtype, odd=True))
+    C = _dct_matrix_np(n)
+    h = n // 2
+    return jnp.asarray(C[0::2, :h], dtype), jnp.asarray(C[1::2, :h], dtype)
+
+
+def _apply_axis_folded(x: jnp.ndarray, n: int, axis: int, inverse: bool,
+                       precision=None) -> jnp.ndarray:
+    """One folded DCT factor; output (forward) / input (inverse) frequency
+    order is [k=0,2,..,n-2, 1,3,..,n-1] — pair with :func:`_eigs_1d_np`."""
+    h = n // 2
+    prec = precision or jax.lax.Precision.HIGHEST
+    x = jnp.moveaxis(x, axis, -1)
+    E, O = _folded_matrices(n, x.dtype)
+    if not inverse:
+        lo, hi_r = x[..., :h], x[..., h:][..., ::-1]
+        ye = jnp.matmul(lo + hi_r, E.T, preferred_element_type=x.dtype,
+                        precision=prec)
+        yo = jnp.matmul(lo - hi_r, O.T, preferred_element_type=x.dtype,
+                        precision=prec)
+        y = jnp.concatenate([ye, yo], axis=-1)
+    else:
+        a = jnp.matmul(x[..., :h], E, preferred_element_type=x.dtype,
+                       precision=prec)
+        b = jnp.matmul(x[..., h:], O, preferred_element_type=x.dtype,
+                       precision=prec)
+        y = jnp.concatenate([a + b, (a - b)[..., ::-1]], axis=-1)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def _eigs_1d_np(n: int) -> np.ndarray:
+    """1-D Neumann-Laplacian eigenvalues in the order the *solve-path*
+    transform emits them for this axis (permuted even-first under 'fold')."""
+    e = _neumann_eigenvalues_np(n)
+    if _axis_mode(n) == "fold":
+        return np.concatenate([e[0::2], e[1::2]])
+    return e
+
+
 def _ortho_scale_np(n: int, dtype) -> np.ndarray:
     """Per-frequency scale mapping the unnormalized DCT-II (2*sum cos) to
     the orthonormal convention used by the matmul path."""
@@ -153,12 +238,19 @@ def _idct_fft_last(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _apply_axis(x: jnp.ndarray, n: int, axis: int, inverse: bool,
-                precision=None) -> jnp.ndarray:
-    """One separable DCT factor: FFT path for large axes, MXU otherwise."""
-    if n > _fft_threshold():
+                precision=None, allow_fold: bool = False) -> jnp.ndarray:
+    """One separable DCT factor: FFT path for large axes, MXU otherwise.
+
+    ``allow_fold`` (solve paths only) enables the even/odd-split matmuls,
+    which emit coefficients in permuted order — callers must then use
+    :func:`_eigs_1d_np` for the matching spectrum."""
+    mode = _axis_mode(n)
+    if mode == "fft":
         x = jnp.moveaxis(x, axis, -1)
         x = _idct_fft_last(x) if inverse else _dct_fft_last(x)
         return jnp.moveaxis(x, -1, axis)
+    if allow_fold and mode == "fold":
+        return _apply_axis_folded(x, n, axis, inverse, precision=precision)
     mat = _synthesis_matrix(n, x.dtype) if inverse \
         else _analysis_matrix(n, x.dtype)
     return _transform(x, mat, axis, precision=precision)
@@ -197,6 +289,24 @@ def idct3(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     return x
 
 
+def _dct3_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """3-D DCT for spectral solves: folds large even axes (2x less MXU
+    work); coefficient order matches :func:`_eigs_1d_np` per axis."""
+    Nt, Ny, Nx = x.shape[-3:]
+    for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
+        x = _apply_axis(x, n, axis, inverse=False, precision=precision,
+                        allow_fold=True)
+    return x
+
+
+def _idct3_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    Nt, Ny, Nx = x.shape[-3:]
+    for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
+        x = _apply_axis(x, n, axis, inverse=True, precision=precision,
+                        allow_fold=True)
+    return x
+
+
 def stepA_spectrum(Nt: int, Ny: int, Nx: int, r: float, reg_epsilon: float,
                    dtype=np.float32) -> np.ndarray:
     """Eigenvalues of A = -r*L_st + r*eps*I on the DCT-II tensor basis."""
@@ -210,10 +320,11 @@ def _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon, dtype):
     """In-graph spectrum of ``A = -r*L_st + r*eps*I``: assembled from three
     1-D eigenvalue vectors (a dense (Nt, Ny, Nx) constant would be a
     quarter-GB program blob at 4K resolution); the broadcast add fuses into
-    the consuming divide."""
-    lt = jnp.asarray(_neumann_eigenvalues_np(Nt).astype(dtype))
-    ly = jnp.asarray(_neumann_eigenvalues_np(Ny).astype(dtype))
-    lx = jnp.asarray(_neumann_eigenvalues_np(Nx).astype(dtype))
+    the consuming divide.  Per-axis order matches the solve-path transforms
+    (:func:`_eigs_1d_np`: even-first permuted where the axis folds)."""
+    lt = jnp.asarray(_eigs_1d_np(Nt).astype(dtype))
+    ly = jnp.asarray(_eigs_1d_np(Ny).astype(dtype))
+    lx = jnp.asarray(_eigs_1d_np(Nx).astype(dtype))
     return (-r * (lt[:, None, None] + ly[None, :, None]
                   + lx[None, None, :]) + r * reg_epsilon)
 
@@ -231,7 +342,7 @@ def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
     Nt, Ny, Nx = F.shape[-3:]
     spec = _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon,
                                    np.dtype(F.dtype))
-    return idct3(dct3(F) / spec)
+    return _idct3_solve(_dct3_solve(F) / spec)
 
 
 def solve_stepA_dct_refined(F: jnp.ndarray, r=1.0, reg_epsilon=1e-2,
@@ -267,8 +378,8 @@ def solve_stepA_dct_refined(F: jnp.ndarray, r=1.0, reg_epsilon=1e-2,
                                    np.dtype(F.dtype))
 
     def M(b):
-        return idct3(dct3(b, precision=precision) / spec,
-                     precision=precision)
+        return _idct3_solve(_dct3_solve(b, precision=precision) / spec,
+                            precision=precision)
 
     def A(phi):
         return -r * operators.laplacian_st(phi, bc="N") \
@@ -293,6 +404,32 @@ def idct2(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     Ny, Nx = x.shape[-2:]
     x = _apply_axis(x, Ny, -2, inverse=True, precision=precision)
     return _apply_axis(x, Nx, -1, inverse=True, precision=precision)
+
+
+def _dct2_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """2-D DCT for spectral solves (folds large even axes); coefficient
+    order matches :func:`neg_lap2d_spectrum_solve`."""
+    Ny, Nx = x.shape[-2:]
+    x = _apply_axis(x, Ny, -2, inverse=False, precision=precision,
+                    allow_fold=True)
+    return _apply_axis(x, Nx, -1, inverse=False, precision=precision,
+                       allow_fold=True)
+
+
+def _idct2_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
+    Ny, Nx = x.shape[-2:]
+    x = _apply_axis(x, Ny, -2, inverse=True, precision=precision,
+                    allow_fold=True)
+    return _apply_axis(x, Nx, -1, inverse=True, precision=precision,
+                       allow_fold=True)
+
+
+def neg_lap2d_spectrum_solve(Ny: int, Nx: int, dtype=np.float64) -> np.ndarray:
+    """:func:`neg_lap2d_spectrum` in the per-axis order emitted by the
+    solve-path transforms (:func:`_dct2_solve`)."""
+    ly = -_eigs_1d_np(Ny)[:, None]
+    lx = -_eigs_1d_np(Nx)[None, :]
+    return (ly + lx).astype(dtype)
 
 
 def neg_lap2d_spectrum(Ny: int, Nx: int, dtype=np.float64) -> np.ndarray:

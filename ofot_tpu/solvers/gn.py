@@ -112,15 +112,19 @@ def make_spectral_block_preconditioner(g, coefs, precision=None):
     from ofot_tpu.solvers import dct as dct_mod
 
     k, Ny, Nx = g.shape
-    lam = jnp.asarray(dct_mod.neg_lap2d_spectrum(Ny, Nx, np.dtype(g.dtype)))
+    # solve-path transforms fold large even axes (2x less MXU work per
+    # application); the spectrum uses the matching permuted order
+    lam = jnp.asarray(dct_mod.neg_lap2d_spectrum_solve(Ny, Nx,
+                                                       np.dtype(g.dtype)))
     coef = jnp.stack([jnp.full((), c, g.dtype) for c in coefs])
     c = jnp.mean(g * g, axis=(-2, -1))            # mean data diagonal
     spec = coef[:, None, None] * lam[None] + c[:, None, None]
     spec = jnp.where(spec == 0, jnp.ones((), g.dtype), spec)
 
     def M(rhs):
-        return dct_mod.idct2(dct_mod.dct2(rhs, precision=precision) / spec,
-                             precision=precision)
+        return dct_mod._idct2_solve(
+            dct_mod._dct2_solve(rhs, precision=precision) / spec,
+            precision=precision)
 
     return M
 

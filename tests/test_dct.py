@@ -73,6 +73,58 @@ def test_fft_path_matches_matmul_path():
         dct._FFT_THRESHOLD = old
 
 
+def test_folded_transform_matches_dense_permuted():
+    """The even/odd-split (folded) transform == the dense DCT with
+    even-first frequency permutation, both directions — including the
+    device-generated matrices (n > 512)."""
+    for n in (130, 256, 514):
+        assert dct._axis_mode(n) == "fold"
+        x = jnp.asarray(RNG.standard_normal((3, n)), jnp.float64)
+        C = dct._dct_matrix_np(n)
+        perm = np.concatenate([np.arange(0, n, 2), np.arange(1, n, 2)])
+        want = (np.asarray(x) @ C.T)[:, perm]
+        got = dct._apply_axis_folded(x, n, -1, inverse=False)
+        tol = 1e-11 if n <= dct._DEVICE_GEN_THRESHOLD else 2e-5
+        np.testing.assert_allclose(np.asarray(got), want, atol=tol)
+        back = dct._apply_axis_folded(got, n, -1, inverse=True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol=tol)
+        # permuted eigenvalues pair with the folded order
+        np.testing.assert_allclose(
+            dct._eigs_1d_np(n), dct._neumann_eigenvalues_np(n)[perm])
+
+
+def test_stepA_dct_solves_exactly_with_folding():
+    """Spectral solve at a fold-active shape (axes > 128): the result must
+    satisfy the exact stencil equation A phi = F."""
+    Nt, Ny, Nx = 3, 130, 144
+    r, eps = 1.0, 1e-2
+    F = jnp.asarray(RNG.standard_normal((Nt, Ny, Nx)))
+    phi = dct.solve_stepA_dct(F, r=r, reg_epsilon=eps)
+    residual = (-r * operators.laplacian_st(phi, bc="N") + r * eps * phi
+                - F)
+    assert float(jnp.max(jnp.abs(residual))) < 1e-8
+
+
+def test_spectral_preconditioner_folded_equals_natural():
+    """GN's spectral preconditioner through the folded solve-path
+    transforms == the same operator through natural-order dct2 (the fold
+    is an internal reordering, invisible as a linear operator)."""
+    from ofot_tpu.solvers import gn
+    k, Ny, Nx = 3, 130, 144
+    g = jnp.asarray(RNG.standard_normal((k, Ny, Nx)))
+    rhs = jnp.asarray(RNG.standard_normal((k, Ny, Nx)))
+    coefs = (0.1, 0.1, 0.2)
+    M = gn.make_spectral_block_preconditioner(g, coefs)
+
+    lam = dct.neg_lap2d_spectrum(Ny, Nx, np.float64)
+    c = np.mean(np.asarray(g) ** 2, axis=(-2, -1))
+    spec = np.asarray(coefs)[:, None, None] * lam[None] + c[:, None, None]
+    want = dct.idct2(dct.dct2(rhs) / jnp.asarray(spec))
+    np.testing.assert_allclose(np.asarray(M(rhs)), np.asarray(want),
+                               atol=1e-10)
+
+
 def test_stepA_dct_solves_exactly():
     Nt, Ny, Nx = 4, 6, 9
     r, eps = 1.0, 1e-2
