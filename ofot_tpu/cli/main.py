@@ -156,6 +156,12 @@ def main(argv=None) -> int:
                         "inner_iterations": int(result.state.cg_iterations),
                         "crit": float(result.state.crit),
                         "stepA_solver": solver}
+        # the OT value the solve computes anyway (net-new vs reference):
+        # W2 between the normalized densities, in pixel units
+        w2 = float(foto.wasserstein2(result.state))
+        solver_stats["wasserstein2"] = w2
+        if not args.quiet:
+            print(f"W2(rho0, rhoT) = {w2:.6g} px")
         if args.checkpoint:
             save_state(args.checkpoint, result.state)
         if args.save_density_frames:

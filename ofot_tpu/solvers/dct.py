@@ -115,11 +115,17 @@ def _fft_threshold() -> int:
 # output lands in even-first permuted frequency order; a spectral *solve*
 # never needs natural order, so the pointwise divide just uses identically
 # permuted eigenvalues and the permutation costs nothing (the public
-# dct3/idct3 keep natural order and never fold).  Folding only pays once
-# n/2 spans at least one full 128-lane MXU tile, hence the n > 128 gate
-# (at exactly n = 128 the folded halves pad back up to 128 and lose 2x).
+# dct3/idct3 keep natural order and never fold).
+#
+# MEASURED NEGATIVE (v5e, BENCHMARKS.md): despite the 2x MAC reduction,
+# a 1080p A/B gives 6.66 (folded) vs 6.58 ms (dense) per stepA solve —
+# TPU matmul operands cannot be fusion outputs, so the u/v fold adds, the
+# lane reversal and the output concat each materialize a full field, and
+# those ~4 extra HBM passes per folded axis eat the MXU saving exactly.
+# Folding is therefore OFF by default (threshold inf) and kept as an
+# option for MXU-bound hardware, like the dct-refined solver.
 
-_FOLD_MIN_N = 128
+_FOLD_MIN_N = 1 << 30     # set lower (e.g. 128) to enable folding
 
 
 def _axis_mode(n: int) -> str:

@@ -73,7 +73,18 @@ def test_fft_path_matches_matmul_path():
         dct._FFT_THRESHOLD = old
 
 
-def test_folded_transform_matches_dense_permuted():
+@pytest.fixture
+def fold_enabled():
+    """Enable the (default-off) folded solve transforms for one test."""
+    old = dct._FOLD_MIN_N
+    dct._FOLD_MIN_N = 128
+    try:
+        yield
+    finally:
+        dct._FOLD_MIN_N = old
+
+
+def test_folded_transform_matches_dense_permuted(fold_enabled):
     """The even/odd-split (folded) transform == the dense DCT with
     even-first frequency permutation, both directions — including the
     device-generated matrices (n > 512)."""
@@ -94,19 +105,21 @@ def test_folded_transform_matches_dense_permuted():
             dct._eigs_1d_np(n), dct._neumann_eigenvalues_np(n)[perm])
 
 
-def test_stepA_dct_solves_exactly_with_folding():
+def test_stepA_dct_solves_exactly_with_folding(fold_enabled):
     """Spectral solve at a fold-active shape (axes > 128): the result must
     satisfy the exact stencil equation A phi = F."""
     Nt, Ny, Nx = 3, 130, 144
     r, eps = 1.0, 1e-2
     F = jnp.asarray(RNG.standard_normal((Nt, Ny, Nx)))
-    phi = dct.solve_stepA_dct(F, r=r, reg_epsilon=eps)
+    # bypass solve_stepA_dct's jit cache (traced before with fold off)
+    spec = dct._stepA_spectrum_ingraph(Nt, Ny, Nx, r, eps, np.float64)
+    phi = dct._idct3_solve(dct._dct3_solve(F) / spec)
     residual = (-r * operators.laplacian_st(phi, bc="N") + r * eps * phi
                 - F)
     assert float(jnp.max(jnp.abs(residual))) < 1e-8
 
 
-def test_spectral_preconditioner_folded_equals_natural():
+def test_spectral_preconditioner_folded_equals_natural(fold_enabled):
     """GN's spectral preconditioner through the folded solve-path
     transforms == the same operator through natural-order dct2 (the fold
     is an internal reordering, invisible as a linear operator)."""
