@@ -1,0 +1,185 @@
+"""Entropic optimal transport (Sinkhorn) on image grids — MXU-native.
+
+Net-new vs the reference (which solves dynamic OT only, reference
+benamou_brenier.py): a second, *static* OT backend.  For densities on a
+regular (Ny, Nx) grid with quadratic ground cost the Gibbs kernel
+factorizes over axes,
+
+    K[(y,x),(y',x')] = exp(-((y-y')^2 + (x-x')^2) / eps) = Ky ⊗ Kx,
+
+so one Sinkhorn update is two small dense matmuls (``Ky @ W @ Kx^T``)
+instead of an O((NyNx)^2) kernel product — exactly the TPU's sweet spot.
+
+The iteration runs in the log domain (potentials f, g) with a TWO-STAGE
+stabilized softmin — per-row shifts for the x contraction, per-column
+shifts for the y contraction, both still MXU matmuls.  Plain
+kernel-space scaling overflows f32 already at eps ~ 3 px^2 on 48x48
+blobs, and even log-domain with one global shift fails (the Kantorovich
+potentials grow quadratically across the domain).
+
+Precision envelope (measured, tests/test_sinkhorn.py): f64 is exact down
+to eps = 1; f32 — the TPU dtype — is validated for eps >= 3 (debiased W2
+error < 0.1%; ~3% at eps = 2).  Below that the dual potentials' dynamic range
+exceeds f32's ~88-nat exp window and the iteration itself degrades; use
+f64 (CPU) or a larger eps — the debiasing keeps moderate-eps estimates
+sharp (W2 of a translation is exact to 4 digits at eps = 4).
+
+Provides the entropic OT cost and the debiased Sinkhorn divergence;
+cross-validated against the dynamic Benamou–Brenier value
+(``foto.wasserstein2``) and the exact W2 of translations in
+tests/test_sinkhorn.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class SinkhornResult(NamedTuple):
+    cost: jnp.ndarray          # entropic OT cost <P, C>  (pixel^2 units)
+    f: jnp.ndarray             # (Ny, Nx) dual potential for a
+    g: jnp.ndarray             # (Ny, Nx) dual potential for b
+    marginal_error: jnp.ndarray  # L1 error of P's first marginal vs a
+    iterations: jnp.ndarray
+
+
+def _gibbs_1d(n: int, epsilon, dtype) -> jnp.ndarray:
+    """(n, n) one-axis Gibbs kernel exp(-(i-j)^2 / eps) (symmetric)."""
+    i = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d2 = ((i - j) ** 2).astype(dtype)
+    return jnp.exp(-d2 / epsilon)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "check_every"))
+def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
+          max_iter: int = 500, tol=1e-4,
+          check_every: int = 25) -> SinkhornResult:
+    """Entropic OT between grid densities ``a`` and ``b`` (both (Ny, Nx),
+    nonnegative; normalized to unit mass internally).
+
+    Returns the entropic cost ``<P, C>`` with C the squared pixel
+    distance.  ``epsilon`` is the entropic regularization in px^2 —
+    smaller is sharper but needs more iterations (precision envelope:
+    f32 for eps >= 3, f64 down to eps = 1 — see the module docstring).
+    Convergence is the L1 error of the transport plan's
+    first marginal against ``a``, checked every ``check_every``
+    iterations inside the jitted ``while_loop``.
+    """
+    dtype = a.dtype
+    eps = jnp.asarray(epsilon, dtype)
+    Ny, Nx = a.shape
+    a = a / jnp.sum(a)
+    b = b / jnp.sum(b)
+    Ky = _gibbs_1d(Ny, eps, dtype)
+    Kx = _gibbs_1d(Nx, eps, dtype)
+    prec = jax.lax.Precision.HIGHEST
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+    la = eps * jnp.log(jnp.maximum(a, tiny))
+    lb = eps * jnp.log(jnp.maximum(b, tiny))
+
+    def softmin(h):
+        """eps * log( sum_{y',x'} exp((h[y',x'] - Cy - Cx)/eps) ) as a
+        field over (y, x), via two stabilized stages: per-y'-row shifts
+        for the x' contraction, then per-x-column shifts for the y'
+        contraction — every exp argument is <= 0, yet both contractions
+        stay MXU matmuls.  A single GLOBAL shift is not enough: the
+        Kantorovich potentials grow quadratically across the domain
+        (range ~ +-180 at eps=1 on 48x48), so mass-carrying rows sit
+        ~300/eps below the global max and underflow f32.  K is
+        symmetric, so the same form serves both marginals."""
+        m1 = jnp.max(h, axis=-1, keepdims=True)                 # (Ny, 1)
+        s1 = jnp.matmul(jnp.exp((h - m1) / eps), Kx.T, precision=prec)
+        S1 = m1 + eps * jnp.log(jnp.maximum(s1, tiny))          # at (y', x)
+        m2 = jnp.max(S1, axis=-2, keepdims=True)                # (1, Nx)
+        s2 = jnp.matmul(Ky, jnp.exp((S1 - m2) / eps), precision=prec)
+        return m2 + eps * jnp.log(jnp.maximum(s2, tiny))
+
+    class Carry(NamedTuple):
+        f: jnp.ndarray
+        g: jnp.ndarray
+        err: jnp.ndarray
+        it: jnp.ndarray
+
+    def block(c: Carry) -> Carry:
+        def one(i, fg):
+            f, g = fg
+            f = la - softmin(g)
+            g = lb - softmin(f)
+            return f, g
+
+        f, g = lax.fori_loop(0, check_every, one, (c.f, c.g))
+        # plan's first marginal: log marg = (f + softmin(g)) / eps
+        marg = jnp.exp((f + softmin(g)) / eps)
+        err = jnp.sum(jnp.abs(marg - a))
+        return Carry(f, g, err, c.it + check_every)
+
+    def cond(c: Carry):
+        return (c.err > tol) & (c.it < max_iter)
+
+    z = jnp.zeros_like(a)
+    c = lax.while_loop(cond, block,
+                       Carry(z, z, jnp.asarray(jnp.inf, dtype),
+                             jnp.int32(0)))
+
+    # entropic cost <P, C> with P_ij = exp((f_i + g_j - C_ij)/eps) and
+    # separable C = (y-y')^2 + (x-x')^2, evaluated GAUGE-FREE as
+    #   cost = sum_i a_i * E_i,
+    #   E_i  = sum_j e^{(g_j - C_ij)/eps} C_ij / sum_j e^{(g_j - C_ij)/eps}
+    # (conditional mean cost of row i; uses the marginal identity
+    # sum_j P_ij = a_i).  The f-potential and every offset of g cancel in
+    # the ratio — the naive factorization e^{(mf+mg)/eps} * (wf K wg)
+    # splits a well-scaled quantity into a huge*tiny pair (measured
+    # 1e147 * 1e-147 at eps=1) and dies in f32.  Numerator and
+    # denominator run through the same two-stage shifts as softmin, so
+    # the stabilization cancels exactly in the ratio.
+    iy = lax.broadcasted_iota(jnp.int32, (Ny, Ny), 0)
+    jy = lax.broadcasted_iota(jnp.int32, (Ny, Ny), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (Nx, Nx), 0)
+    jx = lax.broadcasted_iota(jnp.int32, (Nx, Nx), 1)
+    KyD = Ky * ((iy - jy) ** 2).astype(dtype)
+    KxD = Kx * ((ix - jx) ** 2).astype(dtype)
+    # stage 1 over x' (per-y'-row shifts): plain and Cx-weighted sums
+    m1 = jnp.max(c.g, axis=-1, keepdims=True)
+    w1 = jnp.exp((c.g - m1) / eps)
+    P1 = jnp.matmul(w1, Kx.T, precision=prec)         # at (y', x)
+    Q1 = jnp.matmul(w1, KxD.T, precision=prec)        # Cx-weighted
+    S1 = m1 + eps * jnp.log(jnp.maximum(P1, tiny))
+    # stage 2 over y' (per-x-column shifts); e2 = exp((S1 - m2)/eps) <= 1
+    m2 = jnp.max(S1, axis=-2, keepdims=True)
+    scale = jnp.exp((m1 - m2) / eps)
+    e2 = scale * P1
+    den = jnp.matmul(Ky, e2, precision=prec)
+    num = (jnp.matmul(KyD, e2, precision=prec)
+           + jnp.matmul(Ky, scale * Q1, precision=prec))
+    E = jnp.where(den > 0, num / jnp.maximum(den, tiny), 0.0)
+    cost = jnp.sum(a * E)
+    return SinkhornResult(cost=cost, f=c.f, g=c.g,
+                          marginal_error=c.err, iterations=c.it)
+
+
+def sinkhorn_divergence(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0,
+                        **kw) -> jnp.ndarray:
+    """Debiased Sinkhorn divergence
+    ``S = OT_eps(a,b) - (OT_eps(a,a) + OT_eps(b,b)) / 2`` — removes the
+    entropic blur bias so sqrt(S) tracks the true W2 much more closely
+    than sqrt(OT_eps) (Feydy et al. formulation with the <P,C> cost)."""
+    ab = solve(a, b, epsilon, **kw).cost
+    aa = solve(a, a, epsilon, **kw).cost
+    bb = solve(b, b, epsilon, **kw).cost
+    return ab - 0.5 * (aa + bb)
+
+
+def wasserstein2_entropic(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0,
+                          **kw) -> jnp.ndarray:
+    """sqrt of the debiased Sinkhorn divergence — a fast static-OT
+    estimate of W2 in pixel units (compare foto.wasserstein2, the dynamic
+    estimate; both validated on translations in tests/test_sinkhorn.py)."""
+    return jnp.sqrt(jnp.maximum(sinkhorn_divergence(a, b, epsilon, **kw),
+                                0.0))
