@@ -157,11 +157,15 @@ def main(argv=None) -> int:
                         "crit": float(result.state.crit),
                         "stepA_solver": solver}
         # the OT value the solve computes anyway (net-new vs reference):
-        # W2 between the normalized densities, in pixel units
-        w2 = float(foto.wasserstein2(result.state))
-        solver_stats["wasserstein2"] = w2
-        if not args.quiet:
-            print(f"W2(rho0, rhoT) = {w2:.6g} px")
+        # W2 between the normalized densities, in pixel units.  Jitted
+        # (eager dispatch is ~10 ops — minutes over the remote TPU tunnel)
+        # and skipped under --quiet unless a JSONL log wants the number,
+        # so benchmark runs pay nothing for it.
+        if not args.quiet or args.log_jsonl:
+            w2 = float(jax.jit(foto.wasserstein2)(result.state))
+            solver_stats["wasserstein2"] = w2
+            if not args.quiet:
+                print(f"W2(rho0, rhoT) = {w2:.6g} px")
         if args.checkpoint:
             save_state(args.checkpoint, result.state)
         if args.save_density_frames:

@@ -21,7 +21,7 @@ available for bitwise-faithful reference semantics (``stepA_solver="cg"``).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -138,6 +138,18 @@ def _axis_mode(n: int) -> str:
     return "dense"
 
 
+def _solve_modes(ns) -> tuple:
+    """Resolve the per-axis transform routes for a spectral solve ONCE.
+
+    Solve paths must use the same route for the spectrum and for the
+    transforms (folding permutes the frequency order); resolving at two
+    different times (preconditioner construction vs jit trace) lets a
+    ``_FOLD_MIN_N`` / ``_FFT_THRESHOLD`` change in between silently
+    mismatch them (ADVICE.md r1).  Every solve entry point calls this
+    once and threads the result through both."""
+    return tuple(_axis_mode(n) for n in ns)
+
+
 def _folded_matrix_jnp(n: int, dtype, odd: bool) -> jnp.ndarray:
     """On-device (n/2, n/2) even- or odd-frequency half of the DCT-II
     matrix (same exact int32 angle reduction as :func:`_dct_matrix_jnp`)."""
@@ -188,11 +200,14 @@ def _apply_axis_folded(x: jnp.ndarray, n: int, axis: int, inverse: bool,
     return jnp.moveaxis(y, -1, axis)
 
 
-def _eigs_1d_np(n: int) -> np.ndarray:
-    """1-D Neumann-Laplacian eigenvalues in the order the *solve-path*
-    transform emits them for this axis (permuted even-first under 'fold')."""
+def _eigs_1d_np(n: int, mode: str) -> np.ndarray:
+    """1-D Neumann-Laplacian eigenvalues in the order a solve-path
+    transform routed as ``mode`` emits them for this axis (permuted
+    even-first under 'fold').  ``mode`` comes from the caller's single
+    :func:`_solve_modes` resolution — never re-derived here, so spectrum
+    and transform cannot disagree."""
     e = _neumann_eigenvalues_np(n)
-    if _axis_mode(n) == "fold":
+    if mode == "fold":
         return np.concatenate([e[0::2], e[1::2]])
     return e
 
@@ -244,18 +259,21 @@ def _idct_fft_last(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _apply_axis(x: jnp.ndarray, n: int, axis: int, inverse: bool,
-                precision=None, allow_fold: bool = False) -> jnp.ndarray:
+                precision=None, mode: str | None = None) -> jnp.ndarray:
     """One separable DCT factor: FFT path for large axes, MXU otherwise.
 
-    ``allow_fold`` (solve paths only) enables the even/odd-split matmuls,
-    which emit coefficients in permuted order — callers must then use
-    :func:`_eigs_1d_np` for the matching spectrum."""
-    mode = _axis_mode(n)
+    ``mode`` is the pre-resolved route from :func:`_solve_modes` (solve
+    paths — 'fold' emits coefficients in permuted order, so callers must
+    use :func:`_eigs_1d_np` with the same mode for the spectrum).  When
+    None (the public natural-order transforms) the route is decided here
+    and never folds."""
+    if mode is None:
+        mode = "fft" if n > _fft_threshold() else "dense"
     if mode == "fft":
         x = jnp.moveaxis(x, axis, -1)
         x = _idct_fft_last(x) if inverse else _dct_fft_last(x)
         return jnp.moveaxis(x, -1, axis)
-    if allow_fold and mode == "fold":
+    if mode == "fold":
         return _apply_axis_folded(x, n, axis, inverse, precision=precision)
     mat = _synthesis_matrix(n, x.dtype) if inverse \
         else _analysis_matrix(n, x.dtype)
@@ -295,21 +313,24 @@ def idct3(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     return x
 
 
-def _dct3_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
-    """3-D DCT for spectral solves: folds large even axes (2x less MXU
-    work); coefficient order matches :func:`_eigs_1d_np` per axis."""
+def _dct3_solve(x: jnp.ndarray, precision=None, modes=None) -> jnp.ndarray:
+    """3-D DCT for spectral solves: may fold/FFT-route axes per ``modes``
+    (resolved once by the caller via :func:`_solve_modes`; None resolves
+    here); coefficient order matches :func:`_eigs_1d_np` per axis."""
     Nt, Ny, Nx = x.shape[-3:]
-    for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
+    modes = modes or _solve_modes((Nt, Ny, Nx))
+    for (axis, n), mode in zip(((-3, Nt), (-2, Ny), (-1, Nx)), modes):
         x = _apply_axis(x, n, axis, inverse=False, precision=precision,
-                        allow_fold=True)
+                        mode=mode)
     return x
 
 
-def _idct3_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
+def _idct3_solve(x: jnp.ndarray, precision=None, modes=None) -> jnp.ndarray:
     Nt, Ny, Nx = x.shape[-3:]
-    for axis, n in ((-3, Nt), (-2, Ny), (-1, Nx)):
+    modes = modes or _solve_modes((Nt, Ny, Nx))
+    for (axis, n), mode in zip(((-3, Nt), (-2, Ny), (-1, Nx)), modes):
         x = _apply_axis(x, n, axis, inverse=True, precision=precision,
-                        allow_fold=True)
+                        mode=mode)
     return x
 
 
@@ -322,20 +343,28 @@ def stepA_spectrum(Nt: int, Ny: int, Nx: int, r: float, reg_epsilon: float,
     return (-r * (lt + ly + lx) + r * reg_epsilon).astype(dtype)
 
 
-def _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon, dtype):
+def _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon, dtype, modes):
     """In-graph spectrum of ``A = -r*L_st + r*eps*I``: assembled from three
     1-D eigenvalue vectors (a dense (Nt, Ny, Nx) constant would be a
     quarter-GB program blob at 4K resolution); the broadcast add fuses into
     the consuming divide.  Per-axis order matches the solve-path transforms
-    (:func:`_eigs_1d_np`: even-first permuted where the axis folds)."""
-    lt = jnp.asarray(_eigs_1d_np(Nt).astype(dtype))
-    ly = jnp.asarray(_eigs_1d_np(Ny).astype(dtype))
-    lx = jnp.asarray(_eigs_1d_np(Nx).astype(dtype))
+    routed as ``modes`` (:func:`_eigs_1d_np`: even-first permuted where the
+    axis folds)."""
+    lt = jnp.asarray(_eigs_1d_np(Nt, modes[0]).astype(dtype))
+    ly = jnp.asarray(_eigs_1d_np(Ny, modes[1]).astype(dtype))
+    lx = jnp.asarray(_eigs_1d_np(Nx, modes[2]).astype(dtype))
     return (-r * (lt[:, None, None] + ly[None, :, None]
                   + lx[None, None, :]) + r * reg_epsilon)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("modes",))
+def _solve_stepA_dct(F, r, reg_epsilon, modes):
+    Nt, Ny, Nx = F.shape[-3:]
+    spec = _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon,
+                                   np.dtype(F.dtype), modes)
+    return _idct3_solve(_dct3_solve(F, modes=modes) / spec, modes=modes)
+
+
 def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
                     reg_epsilon: float = 1e-2) -> jnp.ndarray:
     """Exact solve of ``(-r*L_st + r*eps*I) phi = F`` via 3-D DCT.
@@ -343,12 +372,13 @@ def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
     ``r`` and ``reg_epsilon`` are traced (NOT static): callers like
     ``foto.solve_potential`` pass them as jit-traced scalars, and a traced
     value in a static argname poisons the jit cache key (the second call
-    with a fresh tracer fails the cache-key equality check).
+    with a fresh tracer fails the cache-key equality check).  The per-axis
+    transform routes ARE static: resolved once here and part of the jit
+    cache key, so toggling ``_FOLD_MIN_N`` / ``_FFT_THRESHOLD`` recompiles
+    instead of silently reusing the other routing's cache (ADVICE.md r1).
     """
-    Nt, Ny, Nx = F.shape[-3:]
-    spec = _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon,
-                                   np.dtype(F.dtype))
-    return _idct3_solve(_dct3_solve(F) / spec)
+    modes = _solve_modes(F.shape[-3:])
+    return _solve_stepA_dct(F, r, reg_epsilon, modes)
 
 
 def solve_stepA_dct_refined(F: jnp.ndarray, r=1.0, reg_epsilon=1e-2,
@@ -380,12 +410,14 @@ def solve_stepA_dct_refined(F: jnp.ndarray, r=1.0, reg_epsilon=1e-2,
     if precision is None:
         precision = jax.lax.Precision.DEFAULT
     Nt, Ny, Nx = F.shape[-3:]
+    modes = _solve_modes((Nt, Ny, Nx))
     spec = _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon,
-                                   np.dtype(F.dtype))
+                                   np.dtype(F.dtype), modes)
 
     def M(b):
-        return _idct3_solve(_dct3_solve(b, precision=precision) / spec,
-                            precision=precision)
+        return _idct3_solve(_dct3_solve(b, precision=precision,
+                                        modes=modes) / spec,
+                            precision=precision, modes=modes)
 
     def A(phi):
         return -r * operators.laplacian_st(phi, bc="N") \
@@ -412,29 +444,34 @@ def idct2(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     return _apply_axis(x, Nx, -1, inverse=True, precision=precision)
 
 
-def _dct2_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
-    """2-D DCT for spectral solves (folds large even axes); coefficient
-    order matches :func:`neg_lap2d_spectrum_solve`."""
+def _dct2_solve(x: jnp.ndarray, precision=None, modes=None) -> jnp.ndarray:
+    """2-D DCT for spectral solves (may fold/FFT-route per ``modes``, the
+    caller's single :func:`_solve_modes` resolution); coefficient order
+    matches :func:`neg_lap2d_spectrum_solve` for the same modes."""
     Ny, Nx = x.shape[-2:]
+    modes = modes or _solve_modes((Ny, Nx))
     x = _apply_axis(x, Ny, -2, inverse=False, precision=precision,
-                    allow_fold=True)
+                    mode=modes[0])
     return _apply_axis(x, Nx, -1, inverse=False, precision=precision,
-                       allow_fold=True)
+                       mode=modes[1])
 
 
-def _idct2_solve(x: jnp.ndarray, precision=None) -> jnp.ndarray:
+def _idct2_solve(x: jnp.ndarray, precision=None, modes=None) -> jnp.ndarray:
     Ny, Nx = x.shape[-2:]
+    modes = modes or _solve_modes((Ny, Nx))
     x = _apply_axis(x, Ny, -2, inverse=True, precision=precision,
-                    allow_fold=True)
+                    mode=modes[0])
     return _apply_axis(x, Nx, -1, inverse=True, precision=precision,
-                       allow_fold=True)
+                       mode=modes[1])
 
 
-def neg_lap2d_spectrum_solve(Ny: int, Nx: int, dtype=np.float64) -> np.ndarray:
+def neg_lap2d_spectrum_solve(Ny: int, Nx: int, dtype=np.float64,
+                             modes=None) -> np.ndarray:
     """:func:`neg_lap2d_spectrum` in the per-axis order emitted by the
-    solve-path transforms (:func:`_dct2_solve`)."""
-    ly = -_eigs_1d_np(Ny)[:, None]
-    lx = -_eigs_1d_np(Nx)[None, :]
+    solve-path transforms (:func:`_dct2_solve`) routed as ``modes``."""
+    modes = modes or _solve_modes((Ny, Nx))
+    ly = -_eigs_1d_np(Ny, modes[0])[:, None]
+    lx = -_eigs_1d_np(Nx, modes[1])[None, :]
     return (ly + lx).astype(dtype)
 
 

@@ -112,10 +112,13 @@ def make_spectral_block_preconditioner(g, coefs, precision=None):
     from ofot_tpu.solvers import dct as dct_mod
 
     k, Ny, Nx = g.shape
-    # solve-path transforms fold large even axes (2x less MXU work per
-    # application); the spectrum uses the matching permuted order
-    lam = jnp.asarray(dct_mod.neg_lap2d_spectrum_solve(Ny, Nx,
-                                                       np.dtype(g.dtype)))
+    # transform routing (fold/fft/dense per axis) is resolved ONCE here
+    # and threaded to both the spectrum and the transforms, so a later
+    # change of dct._FOLD_MIN_N / _FFT_THRESHOLD cannot mismatch their
+    # frequency orders (ADVICE.md r1)
+    modes = dct_mod._solve_modes((Ny, Nx))
+    lam = jnp.asarray(dct_mod.neg_lap2d_spectrum_solve(
+        Ny, Nx, np.dtype(g.dtype), modes=modes))
     coef = jnp.stack([jnp.full((), c, g.dtype) for c in coefs])
     c = jnp.mean(g * g, axis=(-2, -1))            # mean data diagonal
     spec = coef[:, None, None] * lam[None] + c[:, None, None]
@@ -123,8 +126,9 @@ def make_spectral_block_preconditioner(g, coefs, precision=None):
 
     def M(rhs):
         return dct_mod._idct2_solve(
-            dct_mod._dct2_solve(rhs, precision=precision) / spec,
-            precision=precision)
+            dct_mod._dct2_solve(rhs, precision=precision, modes=modes)
+            / spec,
+            precision=precision, modes=modes)
 
     return M
 

@@ -164,22 +164,51 @@ def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
                           marginal_error=c.err, iterations=c.it)
 
 
+class DivergenceResult(NamedTuple):
+    """Debiased divergence (or its sqrt) plus convergence diagnostics —
+    the worst marginal error and the largest iteration count across the
+    three underlying Sinkhorn solves.  A run that hit ``max_iter`` before
+    ``tol`` shows up as ``marginal_error > tol`` instead of silently
+    returning a biased value (ADVICE.md r1)."""
+    value: jnp.ndarray
+    marginal_error: jnp.ndarray
+    iterations: jnp.ndarray
+
+
 def sinkhorn_divergence(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0,
-                        **kw) -> jnp.ndarray:
+                        full: bool = False, **kw):
     """Debiased Sinkhorn divergence
     ``S = OT_eps(a,b) - (OT_eps(a,a) + OT_eps(b,b)) / 2`` — removes the
     entropic blur bias so sqrt(S) tracks the true W2 much more closely
-    than sqrt(OT_eps) (Feydy et al. formulation with the <P,C> cost)."""
-    ab = solve(a, b, epsilon, **kw).cost
-    aa = solve(a, a, epsilon, **kw).cost
-    bb = solve(b, b, epsilon, **kw).cost
-    return ab - 0.5 * (aa + bb)
+    than sqrt(OT_eps) (Feydy et al. formulation with the <P,C> cost).
+
+    ``full=True`` returns a :class:`DivergenceResult` carrying the worst
+    ``marginal_error`` of the three solves so callers can detect a
+    max_iter exit; the scalar form is kept for jit-friendly use as a pure
+    value."""
+    ab = solve(a, b, epsilon, **kw)
+    aa = solve(a, a, epsilon, **kw)
+    bb = solve(b, b, epsilon, **kw)
+    value = ab.cost - 0.5 * (aa.cost + bb.cost)
+    if not full:
+        return value
+    return DivergenceResult(
+        value=value,
+        marginal_error=jnp.maximum(ab.marginal_error,
+                                   jnp.maximum(aa.marginal_error,
+                                               bb.marginal_error)),
+        iterations=jnp.maximum(ab.iterations,
+                               jnp.maximum(aa.iterations, bb.iterations)))
 
 
 def wasserstein2_entropic(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0,
-                          **kw) -> jnp.ndarray:
+                          full: bool = False, **kw):
     """sqrt of the debiased Sinkhorn divergence — a fast static-OT
     estimate of W2 in pixel units (compare foto.wasserstein2, the dynamic
-    estimate; both validated on translations in tests/test_sinkhorn.py)."""
-    return jnp.sqrt(jnp.maximum(sinkhorn_divergence(a, b, epsilon, **kw),
-                                0.0))
+    estimate; both validated on translations in tests/test_sinkhorn.py).
+    ``full=True`` returns a :class:`DivergenceResult` with convergence
+    diagnostics."""
+    res = sinkhorn_divergence(a, b, epsilon, full=full, **kw)
+    if not full:
+        return jnp.sqrt(jnp.maximum(res, 0.0))
+    return res._replace(value=jnp.sqrt(jnp.maximum(res.value, 0.0)))

@@ -102,7 +102,8 @@ def test_folded_transform_matches_dense_permuted(fold_enabled):
                                    atol=tol)
         # permuted eigenvalues pair with the folded order
         np.testing.assert_allclose(
-            dct._eigs_1d_np(n), dct._neumann_eigenvalues_np(n)[perm])
+            dct._eigs_1d_np(n, "fold"),
+            dct._neumann_eigenvalues_np(n)[perm])
 
 
 def test_stepA_dct_solves_exactly_with_folding(fold_enabled):
@@ -111,9 +112,12 @@ def test_stepA_dct_solves_exactly_with_folding(fold_enabled):
     Nt, Ny, Nx = 3, 130, 144
     r, eps = 1.0, 1e-2
     F = jnp.asarray(RNG.standard_normal((Nt, Ny, Nx)))
-    # bypass solve_stepA_dct's jit cache (traced before with fold off)
-    spec = dct._stepA_spectrum_ingraph(Nt, Ny, Nx, r, eps, np.float64)
-    phi = dct._idct3_solve(dct._dct3_solve(F) / spec)
+    # the transform routing is a static part of the solve's jit cache key,
+    # so the public entry point is safe to call even though an earlier
+    # test traced it with folding off
+    modes = dct._solve_modes((Nt, Ny, Nx))
+    assert "fold" in modes
+    phi = dct.solve_stepA_dct(F, r=r, reg_epsilon=eps)
     residual = (-r * operators.laplacian_st(phi, bc="N") + r * eps * phi
                 - F)
     assert float(jnp.max(jnp.abs(residual))) < 1e-8
@@ -198,8 +202,8 @@ def test_stepA_refined_contracts_transform_error():
     r, eps = 1.0, 1e-2
     F = jnp.asarray(RNG.standard_normal((Nt, Ny, Nx)))
     exact = np.asarray(dct.solve_stepA_dct(F, r=r, reg_epsilon=eps))
-    spec = np.asarray(dct._stepA_spectrum_ingraph(Nt, Ny, Nx, r, eps,
-                                                  np.float64))
+    spec = np.asarray(dct._stepA_spectrum_ingraph(
+        Nt, Ny, Nx, r, eps, np.float64, ("dense",) * 3))
     pert = spec * (1.0 + 1e-2)          # 1% multiplicative solve error
 
     def M(b):

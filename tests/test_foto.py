@@ -192,21 +192,9 @@ def test_admm_over_relaxation():
 def test_wasserstein2_of_translation():
     """W2 of a translated unit-mass blob == the shift distance (the OT
     value API, net-new vs reference): BB action -> W2 via the horizon
-    rescaling, trapezoid time quadrature.  r=0.1 so ALG2 actually
-    transports (r=1 stalls on the stagnation guard at this config)."""
-    ny = nx = 48
-    y, x = np.mgrid[0:ny, 0:nx].astype(np.float32)
-
-    def blob(cy, cx):
-        return np.exp(-(((y - cy) / 6.0) ** 2 + ((x - cx) / 6.0) ** 2))
-
-    shift = 4.0
-    f1, f2 = blob(24, 22), blob(24, 22 + shift)
-    f1, f2 = f1 / f1.sum(), f2 / f2.sum()
-    s = max(f1.max(), f2.max())
-    st, _ = foto.solve_potential_with_history(
-        jnp.asarray(f1 / s), jnp.asarray(f2 / s), 8, 1000,
-        r=0.1, reg_epsilon=1e-3, ops=foto.DCT_OPS)
+    rescaling, trapezoid time quadrature.  Shares one solve with
+    test_sinkhorn.test_matches_dynamic_w2 (fixtures.translated_blob_w2)."""
+    _, _, shift, st = fixtures.translated_blob_w2()
     w2 = float(foto.wasserstein2(st))
     assert abs(w2 - shift) / shift < 0.05, w2
     # kinetic action is invariant under the mass scale used (both scale

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 
 from ofot_tpu.solvers import sinkhorn, foto
 
+import fixtures
+
 RNG = np.random.default_rng(7)
 
 
@@ -61,19 +63,17 @@ def test_f64_exact_at_eps1():
 
 def test_matches_dynamic_w2():
     """Static (Sinkhorn) and dynamic (Benamou–Brenier) estimates of W2
-    agree on a non-trivial pair — two independent solvers, one value."""
-    a_np = _blob(48, 48, 22, 20, sigma=7.0)
-    b_np = _blob(48, 48, 27, 26, sigma=7.0)
-    a_np /= a_np.sum()
-    b_np /= b_np.sum()
-    w2_static = float(sinkhorn.wasserstein2_entropic(
-        jnp.asarray(a_np), jnp.asarray(b_np), 2.0, max_iter=2000))
+    agree on a non-trivial pair — two independent solvers, one value.
+    Reuses the solve from test_foto.test_wasserstein2_of_translation
+    (fixtures.translated_blob_w2) instead of running a second 1000-iter
+    ALG2 scan (ADVICE.md r1).  Exercises the diagnostic wrapper form."""
+    a_np, b_np, _, st = fixtures.translated_blob_w2()
+    res = sinkhorn.wasserstein2_entropic(
+        jnp.asarray(a_np), jnp.asarray(b_np), 2.0, max_iter=2000,
+        full=True)
+    assert float(res.marginal_error) <= 1e-4   # converged, not max_iter
+    w2_static = float(res.value)
 
-    s = max(a_np.max(), b_np.max())
-    st, _ = foto.solve_potential_with_history(
-        jnp.asarray(a_np / s, jnp.float32), jnp.asarray(b_np / s,
-                                                        jnp.float32),
-        8, 1000, r=0.1, reg_epsilon=1e-3, ops=foto.DCT_OPS)
     w2_dynamic = float(foto.wasserstein2(st))
     assert abs(w2_static - w2_dynamic) / w2_static < 0.1, \
         (w2_static, w2_dynamic)
