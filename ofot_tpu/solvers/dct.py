@@ -357,16 +357,18 @@ def _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon, dtype, modes):
                   + lx[None, None, :]) + r * reg_epsilon)
 
 
-@partial(jax.jit, static_argnames=("modes",))
-def _solve_stepA_dct(F, r, reg_epsilon, modes):
+@partial(jax.jit, static_argnames=("modes", "precision"))
+def _solve_stepA_dct(F, r, reg_epsilon, modes, precision=None):
     Nt, Ny, Nx = F.shape[-3:]
     spec = _stepA_spectrum_ingraph(Nt, Ny, Nx, r, reg_epsilon,
                                    np.dtype(F.dtype), modes)
-    return _idct3_solve(_dct3_solve(F, modes=modes) / spec, modes=modes)
+    return _idct3_solve(_dct3_solve(F, modes=modes, precision=precision)
+                        / spec, modes=modes, precision=precision)
 
 
 def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
-                    reg_epsilon: float = 1e-2) -> jnp.ndarray:
+                    reg_epsilon: float = 1e-2,
+                    precision=None) -> jnp.ndarray:
     """Exact solve of ``(-r*L_st + r*eps*I) phi = F`` via 3-D DCT.
 
     ``r`` and ``reg_epsilon`` are traced (NOT static): callers like
@@ -376,9 +378,13 @@ def solve_stepA_dct(F: jnp.ndarray, r: float = 1.0,
     transform routes ARE static: resolved once here and part of the jit
     cache key, so toggling ``_FOLD_MIN_N`` / ``_FFT_THRESHOLD`` recompiles
     instead of silently reusing the other routing's cache (ADVICE.md r1).
+
+    ``precision``: matmul precision of the transforms (None = HIGHEST,
+    the accuracy the ALG2 convergence analysis in ``_transform`` needs;
+    see ``DCTOps(precision=...)`` for the measured trade-offs).
     """
     modes = _solve_modes(F.shape[-3:])
-    return _solve_stepA_dct(F, r, reg_epsilon, modes)
+    return _solve_stepA_dct(F, r, reg_epsilon, modes, precision)
 
 
 def solve_stepA_dct_refined(F: jnp.ndarray, r=1.0, reg_epsilon=1e-2,

@@ -71,11 +71,26 @@ class DCTOps(_DefaultOps):
     """Spectral stepA: the Neumann space-time operator is diagonal in the
     DCT-II tensor basis, so stepA solves exactly with six MXU matmul
     transforms + a pointwise divide (ofot_tpu/solvers/dct.py) instead of
-    hundreds of CG iterations."""
+    hundreds of CG iterations.
+
+    ``precision``: transform matmul precision (None = HIGHEST, 6 bf16 MXU
+    passes — full f32).  ``jax.lax.Precision.HIGH`` (3 passes) halves the
+    transform MXU work; see BENCHMARKS.md for where that pays off."""
+
+    def __init__(self, precision=None):
+        self.precision = precision
 
     def stepA_solve(self, F, r, reg_epsilon, cg_rtol, cg_maxiter):
         from ofot_tpu.solvers.dct import solve_stepA_dct
-        return solve_stepA_dct(F, r=r, reg_epsilon=reg_epsilon), jnp.int32(1)
+        return solve_stepA_dct(F, r=r, reg_epsilon=reg_epsilon,
+                               precision=self.precision), jnp.int32(1)
+
+    def __hash__(self):
+        return hash((type(self), self.precision))
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.precision == other.precision)
 
 
 class DCTRefinedOps(DCTOps):

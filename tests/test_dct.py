@@ -153,6 +153,27 @@ def test_stepA_dct_solves_exactly():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
 
 
+def test_stepA_dct_precision_option():
+    """DCTOps(precision=...) is a distinct, working jit-static ops set:
+    the precision threads to the transforms (identical result on CPU,
+    where every precision is full f32) and participates in hashing so two
+    ops objects with different precisions cannot collide in a jit cache."""
+    import jax
+    from ofot_tpu.solvers import foto
+
+    F = jnp.asarray(RNG.standard_normal((3, 8, 10)))
+    a = dct.solve_stepA_dct(F, r=1.0, reg_epsilon=1e-2)
+    b = dct.solve_stepA_dct(F, r=1.0, reg_epsilon=1e-2,
+                            precision=jax.lax.Precision.HIGH)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    hi = foto.DCTOps(precision=jax.lax.Precision.HIGH)
+    assert hi != foto.DCT_OPS and hash(hi) != hash(foto.DCT_OPS)
+    assert foto.DCTOps() == foto.DCT_OPS
+    phi, it = hi.stepA_solve(F, 1.0, 1e-2, 1e-6, 100)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(a), atol=1e-12)
+
+
 def test_dct_matches_cg():
     Nt, Ny, Nx = 5, 10, 14
     r, eps = 1.0, 1e-2
