@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "in fewer iterations to the same fixed point)")
     p.add_argument("--log-jsonl", nargs="?",
                    help="append a structured solver-summary record here")
+    p.add_argument("--wfr-delta", type=float, default=10.0,
+                   help="WFR transport/growth trade-off length in pixels "
+                        "(--algo=WFR; mass moves below ~pi*delta/2 px and "
+                        "is created/destroyed beyond)")
+    p.add_argument("--save-growth", nargs="?",
+                   help="file output of the WFR growth field (the "
+                        "brightness-change map the source term explains)")
     p.add_argument("--save-density-frames", nargs="?",
                    help="directory for the FOTO intermediate density "
                         "trajectory rho_n as PNGs (the transport 'movie' "
@@ -185,6 +192,45 @@ def main(argv=None) -> int:
         solver_stats = {"inner_iterations": int(res.cg.iterations),
                         "residual": float(res.cg.residual),
                         "converged": bool(res.cg.converged)}
+    elif args.algo == "WFR":
+        # framework extension: unbalanced dynamic OT (Wasserstein-Fisher-
+        # Rao) — FOTO with a source term, so illumination change is
+        # modeled instead of mass-normalized away
+        print(" - algorithm: WFR (unbalanced optimal transport)")
+        print(f"\t - Nt={args.Nt}")
+        print(f"\t - r={args.r}")
+        print(f"\t - delta={args.wfr_delta}")
+        print(f"\t - convergence_tol={args.convergence_tol}")
+        print(f"\t - reg_epsilon={args.reg_epsilon}")
+        print(f"\t - max_it={args.max_it}")
+        from ofot_tpu.solvers import wfr
+        init = load_state(args.resume) if args.resume else None
+        result = wfr.solve(
+            rho1_d, rho2_d, args.Nt, delta=args.wfr_delta, r=args.r,
+            convergence_tol=args.convergence_tol,
+            reg_epsilon=args.reg_epsilon, max_it=args.max_it,
+            verbose=not args.quiet, init=init)
+        u, v, m = (np.asarray(result.u), np.asarray(result.v),
+                   np.asarray(result.m))
+        jax.block_until_ready(result.state.phi)
+        solver_stats = {"iterations": int(result.state.iteration),
+                        "crit": float(result.state.crit),
+                        "delta": args.wfr_delta}
+        if not args.quiet or args.log_jsonl:
+            dist, created = jax.jit(lambda s: (
+                wfr.wfr_distance(s),
+                wfr.total_created_mass(s, args.wfr_delta)))(result.state)
+            solver_stats["wfr_distance"] = float(dist)
+            solver_stats["created_mass"] = float(created)
+            if not args.quiet:
+                print(f"WFR(rho0, rhoT) = {float(dist):.6g} px, "
+                      f"created mass = {float(created):.6g}")
+        if args.checkpoint:
+            save_state(args.checkpoint, result.state)
+        if args.save_growth:
+            image.save_grayscale(
+                np.clip((np.asarray(result.growth) + 1) / 2, 0, 1
+                        ).reshape(h, w), args.save_growth)
     elif args.algo == "HS":
         # framework extension: classic Horn-Schunck (no luminosity field)
         print(" - algorithm: HS")
@@ -198,8 +244,8 @@ def main(argv=None) -> int:
                         "residual": float(res.cg.residual),
                         "converged": bool(res.cg.converged)}
     else:
-        print(f"ERROR: unknown --algo '{args.algo}' (expected foto or GN)",
-              file=sys.stderr)
+        print(f"ERROR: unknown --algo '{args.algo}' "
+              f"(expected foto, GN, HS, or WFR)", file=sys.stderr)
         return 2
     timer = time.time() - start_time
 

@@ -33,24 +33,17 @@ _TRIG_COEF = 2.0 * (2.0 / 3.0) ** 0.5      # 2*sqrt(2/3)
 _ACOS_COEF = (3.0 / 2.0) ** 1.5            # (3/2)^(3/2)
 
 
-def project_paraboloid(p: jnp.ndarray) -> jnp.ndarray:
-    """Project ``p`` (component axis 0: alpha, beta1, beta2) onto K.
+def _project_core(alpha, rho2, eps):
+    """Shared cylindrical-coordinate core: project ``(alpha, rho)`` with
+    ``rho = sqrt(rho2) >= 0`` onto ``a + rho^2 / 2 <= 0``.
 
-    Accepts any shape ``(3, ...)``; returns the same shape.  Matches the
-    reference ``stepB`` (benamou_brenier.py:93-149) pointwise to fp accuracy.
-    """
-    alpha, beta1, beta2 = p[0], p[1], p[2]
-    dtype = p.dtype
-    eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
-
-    inside = 2.0 * alpha + beta1 * beta1 + beta2 * beta2 <= 0.0
-
-    rho2 = beta1 * beta1 + beta2 * beta2
+    Returns ``(inside, alpha_h, rho_h)``: the membership mask and the
+    projected coordinates (only valid where ``~inside``).  The beta
+    direction is untouched by the projection, so any number of beta
+    components reduces to this 2-D problem — the basis of
+    :func:`project_paraboloid_nd`."""
     rho = jnp.sqrt(rho2)
-    # cos/sin of atan2(beta2, beta1); atan2(0, 0) = 0 -> (cos, sin) = (1, 0)
-    safe_rho = jnp.maximum(rho, eps)
-    cos_t = jnp.where(rho > 0, beta1 / safe_rho, 1.0)
-    sin_t = jnp.where(rho > 0, beta2 / safe_rho, 0.0)
+    inside = 2.0 * alpha + rho2 <= 0.0
 
     ap1 = alpha + 1.0
     radicand = (4.0 / 3.0) * ap1 * ap1 * ap1 + 4.5 * rho2
@@ -70,8 +63,55 @@ def project_paraboloid(p: jnp.ndarray) -> jnp.ndarray:
     zh = jnp.where(single, zh_card, zh_trig)
     alpha_h = jnp.where(single, -zh * zh, -0.5 * zh * zh)
     rho_h = jnp.where(single, _SQRT2 * zh, zh)
+    return inside, alpha_h, rho_h
+
+
+def _proj_eps(dtype):
+    return jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
+
+
+def project_paraboloid(p: jnp.ndarray) -> jnp.ndarray:
+    """Project ``p`` (component axis 0: alpha, beta1, beta2) onto K.
+
+    Accepts any shape ``(3, ...)``; returns the same shape.  Matches the
+    reference ``stepB`` (benamou_brenier.py:93-149) pointwise to fp accuracy.
+    """
+    alpha, beta1, beta2 = p[0], p[1], p[2]
+    eps = _proj_eps(p.dtype)
+
+    rho2 = beta1 * beta1 + beta2 * beta2
+    rho = jnp.sqrt(rho2)
+    # cos/sin of atan2(beta2, beta1); atan2(0, 0) = 0 -> (cos, sin) = (1, 0)
+    safe_rho = jnp.maximum(rho, eps)
+    cos_t = jnp.where(rho > 0, beta1 / safe_rho, 1.0)
+    sin_t = jnp.where(rho > 0, beta2 / safe_rho, 0.0)
+
+    inside, alpha_h, rho_h = _project_core(alpha, rho2, eps)
 
     a_out = jnp.where(inside, alpha, alpha_h)
     b1_out = jnp.where(inside, beta1, rho_h * cos_t)
     b2_out = jnp.where(inside, beta2, rho_h * sin_t)
     return jnp.stack([a_out, b1_out, b2_out])
+
+
+def project_paraboloid_nd(p: jnp.ndarray) -> jnp.ndarray:
+    """Project ``p`` (component axis 0: alpha, beta_1 .. beta_k) onto
+    ``K = { (a, b) in R x R^k : a + |b|^2 / 2 <= 0 }`` for any k >= 1.
+
+    The projection acts only on (alpha, |beta|) — the beta direction is
+    preserved — so the same cubic-root core applies with the betas
+    rescaled by ``rho_h / rho``.  k = 2 is the Benamou–Brenier stepB
+    (:func:`project_paraboloid`); k = 3 is the Wasserstein–Fisher–Rao /
+    unbalanced-OT stepB (``ofot_tpu.solvers.wfr``), where the extra
+    component is the source-rate dual ``-phi / delta``.
+    """
+    alpha, betas = p[0], p[1:]
+    eps = _proj_eps(p.dtype)
+    rho2 = jnp.sum(betas * betas, axis=0)
+    inside, alpha_h, rho_h = _project_core(alpha, rho2, eps)
+    # rho == 0 outside K implies the Cardano apex case with rho_h == 0,
+    # so the 0/eps scale is exact there
+    scale = jnp.where(inside, 1.0,
+                      rho_h / jnp.maximum(jnp.sqrt(rho2), eps))
+    a_out = jnp.where(inside, alpha, alpha_h)
+    return jnp.concatenate([a_out[None], betas * scale[None]])

@@ -1,6 +1,6 @@
 """Solvers: matrix-free CG core, GN/HS variational flow, FOTO ALG2
-transport, entropic (Sinkhorn) OT, spectral (DCT) solves, pyramid
-coarse-to-fine, implicit diff."""
+transport, WFR unbalanced transport, entropic (Sinkhorn) OT, spectral
+(DCT) solves, pyramid coarse-to-fine, implicit diff."""
 
 from ofot_tpu.solvers import (  # noqa: F401
-    cg, gn, hs, foto, flow_extract, dct, pyramid, implicit, sinkhorn)
+    cg, gn, hs, foto, flow_extract, dct, pyramid, implicit, sinkhorn, wfr)

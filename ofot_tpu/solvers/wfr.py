@@ -1,0 +1,216 @@
+"""Unbalanced dynamic optimal transport — Wasserstein–Fisher–Rao (WFR).
+
+Framework extension (no reference equivalent; the reference sidesteps
+unbalanced pairs by mass-normalizing every frame, reference
+bin/normalize_image.py + run.sh:50-70).  WFR generalizes the
+Benamou–Brenier problem the FOTO solver computes (reference
+benamou_brenier.py:151-271) with a source term, so mass can be created or
+destroyed at a cost — exactly the physics of illumination change in the
+reference's "lum" datasets:
+
+    min_{rho, m, zeta}  integral ( |m|^2 + delta^2 * zeta^2 ) / (2 rho)
+    s.t.  dt rho + div m = zeta,   rho(0) = rho0,  rho(1) = rhoT.
+
+``delta`` is the transport/growth trade-off length: mass moves where the
+distance is < ~pi*delta/2 and teleports (grows/shrinks) where it is
+larger; delta -> inf recovers balanced Benamou–Brenier (validated in
+tests/test_wfr.py).
+
+The ALG2 structure survives almost unchanged (Chizat, Peyré, Schmitzer,
+Vialard, "An interpolating distance between optimal transport and
+Fisher–Rao"), which is why this module reuses the FOTO machinery:
+
+  * the extended "gradient" is G phi = (grad_st phi, -phi/delta) and
+    G^T G = -L_st + I/delta^2, so **stepA stays the same spectral solve**
+    with reg_epsilon shifted by 1/delta^2 (``dct.solve_stepA_dct``);
+  * stepB projects (a, b1, b2, c) onto the SAME paraboloid with a
+    3-component beta (``projection.project_paraboloid_nd``);
+  * stepC and the Hamilton–Jacobi criterion extend with the c-component.
+
+State layout: ``FotoState`` with mu, q of shape (4, Nt, Ny, Nx) —
+components (rho, m1, m2, sigma) where sigma = delta * zeta is the scaled
+source; checkpoint/resume via utils.checkpoint works unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ofot_tpu.ops import operators
+from ofot_tpu.ops.projection import project_paraboloid_nd
+from ofot_tpu.solvers import foto
+from ofot_tpu.solvers.flow_extract import flow_from_potential
+
+
+class WfrResult(NamedTuple):
+    u: jnp.ndarray        # (Ny, Nx) displacement x
+    v: jnp.ndarray        # (Ny, Nx) displacement y
+    m: jnp.ndarray        # (Ny, Nx) luminosity = -div(u, v) (reference
+    #                       convention, comparable with foto.solve)
+    growth: jnp.ndarray   # (Ny, Nx) integrated relative source along the
+    #                       time axis: multiplicative brightness change - 1
+    source: jnp.ndarray   # (Nt, Ny, Nx) zeta = sigma / delta
+    state: foto.FotoState
+
+
+def init_state(rho0, rhoT, Nt: int) -> foto.FotoState:
+    """Balanced init extended with a zero source channel."""
+    st = foto.init_state(rho0, rhoT, Nt)
+    zero = st.mu[:1] * 0.0
+    return st._replace(mu=jnp.concatenate([st.mu, zero]),
+                       q=jnp.concatenate([st.q, zero]))
+
+
+def G_st(phi, delta):
+    """(grad_st phi, +phi/delta): the unbalanced space-time 'gradient'.
+
+    The sign of the source component is fixed by stationarity of
+    <mu, G phi> in phi having to reproduce ``dt rho + div m = +zeta``
+    (with sigma = delta*zeta paired against phi/delta); the paraboloid is
+    symmetric in c, so a flipped sign converges identically but returns a
+    negated source field."""
+    return jnp.concatenate(
+        [operators.grad_st(phi, bc="N"), (phi / delta)[None]])
+
+
+def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, delta):
+    """Solve (r G^T G + r eps I) phi = -G^T(mu - r q) + time-BC terms.
+
+    -G^T x = div_st(x[:3]) - x[3]/delta (same quirky div_st stencil as the
+    balanced solver), and G^T G = -L_st + I/delta^2, so the system is the
+    balanced stepA operator with reg_epsilon + 1/delta^2 — still diagonal
+    in the DCT basis."""
+    from ofot_tpu.solvers.dct import solve_stepA_dct
+
+    dt = 1.0
+    x = mu - r * q
+    F = operators.div_st(x[:3], bc="N") - x[3] / delta
+    rho, a = mu[0], q[0]
+    g0 = rho0 - rho[0] + r * a[0]
+    gN = rhoT - rho[-1] + r * a[-1]
+    Nt = F.shape[0]
+    t_idx = lax.broadcasted_iota(jnp.int32, F.shape, 0)
+    F = F + jnp.where(t_idx == 0, -(1.0 / dt) * g0[None], 0.0)
+    F = F + jnp.where(t_idx == Nt - 1, (1.0 / dt) * gN[None], 0.0)
+
+    eps_eff = reg_epsilon + 1.0 / (delta * delta)
+    return solve_stepA_dct(F, r=r, reg_epsilon=eps_eff)
+
+
+def alg2_iteration(state: foto.FotoState, rho0, rhoT, *, r, delta,
+                   reg_epsilon, convergence_tol, verbose=False,
+                   max_it=100) -> foto.FotoState:
+    """One unbalanced ALG2 iteration (stepA + 4-component stepB/stepC +
+    extended Hamilton–Jacobi criterion)."""
+    mu, q_prev = state.mu, state.q
+
+    phi = _stepA(mu, q_prev, rho0, rhoT, r, reg_epsilon, delta)
+    gphi = G_st(phi, delta)
+
+    q = project_paraboloid_nd(gphi + mu / r)
+    mu = mu + r * (gphi - q)
+    comp = lax.broadcasted_iota(jnp.int32, mu.shape, 0)
+    mu = jnp.where(comp == 0, jnp.maximum(mu, 0.0), mu)
+
+    # HJ criterion with the source term: dt phi + (|grad phi|^2
+    # + phi^2/delta^2) / 2 = 0 on the support of rho
+    speed2 = gphi[1] ** 2 + gphi[2] ** 2 + gphi[3] ** 2
+    res = gphi[0] + 0.5 * speed2
+    num = jnp.sum(mu[0] * jnp.abs(res))
+    denom = jnp.sum(mu[0] * speed2)
+    crit = jnp.sqrt(num / (denom + 1e-10))
+
+    prev_crit = state.crit
+    done = (crit <= convergence_tol) | (
+        (prev_crit >= 0) & (jnp.abs(prev_crit - crit) < 1e-5))
+    done = done | jnp.isnan(crit)
+
+    if verbose:
+        jax.debug.print("{c} ({i}/{m})", c=crit, i=state.iteration + 1,
+                        m=max_it)
+
+    return foto.FotoState(mu=mu, q=q, phi=phi, crit=crit,
+                          prev_crit=prev_crit,
+                          iteration=state.iteration + 1,
+                          cg_iterations=state.cg_iterations + 1,
+                          done=done)
+
+
+@partial(jax.jit, static_argnames=("Nt", "max_it", "verbose"))
+def solve_potential(rho0, rhoT, Nt, *, delta=10.0, r=1.0,
+                    convergence_tol=0.3, reg_epsilon=1e-3, max_it=100,
+                    verbose=False,
+                    init: foto.FotoState | None = None) -> foto.FotoState:
+    """Run the unbalanced ALG2 loop to convergence (jitted while_loop)."""
+    rho0 = jnp.asarray(rho0)
+    rhoT = jnp.asarray(rhoT)
+    state = init_state(rho0, rhoT, Nt) if init is None else init
+
+    def cond(s):
+        return (~s.done) & (s.iteration < max_it)
+
+    def body(s):
+        return alg2_iteration(s, rho0, rhoT, r=r, delta=delta,
+                              reg_epsilon=reg_epsilon,
+                              convergence_tol=convergence_tol,
+                              verbose=verbose, max_it=max_it)
+
+    return lax.while_loop(cond, body, state)
+
+
+def solve(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
+          reg_epsilon=1e-3, max_it=100, verbose=False,
+          init: foto.FotoState | None = None) -> WfrResult:
+    """Full unbalanced solve: potential -> (u, v, m) displacement flow
+    plus the source/growth fields balanced OT cannot represent."""
+    state = solve_potential(rho0, rhoT, Nt, delta=delta, r=r,
+                            convergence_tol=convergence_tol,
+                            reg_epsilon=reg_epsilon, max_it=max_it,
+                            verbose=verbose, init=init)
+    u, v, m = flow_from_potential(state.phi)
+    zeta = state.mu[3] / delta
+    # relative growth rate g = zeta / rho; brightness multiplier over the
+    # horizon is exp(integral g dt) (trapezoid; rho floored for vacuum)
+    rho = jnp.maximum(state.mu[0], 1e-12)
+    rate = zeta / rho
+    w = jnp.ones((state.mu.shape[1],), rho.dtype).at[0].set(0.5).at[-1].set(0.5)
+    growth = jnp.exp(jnp.tensordot(w, rate, axes=1)) - 1.0
+    return WfrResult(u=u, v=v, m=m, growth=growth, source=zeta,
+                     state=state)
+
+
+def total_created_mass(state: foto.FotoState, delta: float) -> jnp.ndarray:
+    """Space-time integral of the source zeta — the net mass the solution
+    creates (positive) or destroys (negative); equals
+    sum(rhoT) - sum(rho0) at convergence (continuity theorem)."""
+    return jnp.sum(state.mu[3]) / delta
+
+
+def kinetic_action(mu: jnp.ndarray, rho_floor: float = 1e-12) -> jnp.ndarray:
+    """Unbalanced kinetic action: time-trapezoid sum of
+    ``(|m|^2 + sigma^2) / rho`` — ``foto.kinetic_action`` plus the scaled
+    source channel (the objective the unbalanced ALG2 minimizes, up to
+    the global 1/2)."""
+    rho = mu[0]
+    speed2 = mu[1] ** 2 + mu[2] ** 2 + mu[3] ** 2
+    safe = jnp.maximum(rho, rho_floor)
+    dens = jnp.where(rho > rho_floor, speed2 / safe, 0.0)
+    Nt = mu.shape[-3]
+    t = lax.broadcasted_iota(jnp.int32, dens.shape, dens.ndim - 3)
+    w = jnp.where((t == 0) | (t == Nt - 1), 0.5, 1.0)
+    return jnp.sum(w * dens)
+
+
+def wfr_distance(state: foto.FotoState) -> jnp.ndarray:
+    """WFR(rho0, rhoT) in pixel units from the converged state's action —
+    the unbalanced analogue of ``foto.wasserstein2``, same horizon
+    rescaling and per-slice-mass normalization (and the same value in the
+    delta -> inf limit, tests/test_wfr.py)."""
+    Nt = state.mu.shape[-3]
+    total_mass = jnp.sum(state.mu[0]) / Nt
+    return jnp.sqrt((Nt - 1.0) * kinetic_action(state.mu) / total_mass)

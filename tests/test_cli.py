@@ -48,6 +48,20 @@ def test_unknown_algo_fails(frames, tmp_path, capsys):
     assert rc == 2
 
 
+def test_wfr_writes_artifacts(frames, tmp_path):
+    rc = _run(frames, tmp_path, "--algo=WFR", "--Nt=4", "--max-it=10",
+              "--r=0.5", "--wfr-delta=15", "--reg-epsilon=1e-2",
+              f"--out={tmp_path}/wfr.flo",
+              f"--save-growth={tmp_path}/g.png",
+              f"--log-jsonl={tmp_path}/log.jsonl")
+    assert rc == 0
+    for name in ("wfr.flo", "g.png", "log.jsonl"):
+        assert (tmp_path / name).exists(), name
+    import json
+    rec = json.loads((tmp_path / "log.jsonl").read_text().splitlines()[-1])
+    assert "wfr_distance" in rec and "created_mass" in rec
+
+
 def test_ground_truth_metrics(frames, tmp_path):
     # synthetic GT: constant (4, 4) flow
     w = h = 24

@@ -1,0 +1,149 @@
+"""Wasserstein–Fisher–Rao (unbalanced dynamic OT) solver tests.
+
+Framework extension (no reference equivalent): validates the n-beta
+paraboloid projection by its KKT conditions, the delta -> inf limit
+against the balanced FOTO solver, and the source/growth physics on
+pure-growth and translation+brightening fixtures the balanced solver
+cannot represent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofot_tpu.ops.projection import project_paraboloid, project_paraboloid_nd
+from ofot_tpu.solvers import foto, wfr
+
+RNG = np.random.default_rng(7)
+
+
+def _blob(ny, nx, cy, cx, s=6.0):
+    y, x = np.mgrid[0:ny, 0:nx].astype(np.float32)
+    return np.exp(-(((y - cy) / s) ** 2 + ((x - cx) / s) ** 2))
+
+
+class TestProjectionNd:
+    def test_matches_3component_projection(self):
+        p = jnp.asarray(RNG.standard_normal((3, 500)) * 2.0)
+        np.testing.assert_allclose(np.asarray(project_paraboloid_nd(p)),
+                                   np.asarray(project_paraboloid(p)),
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("k", [1, 2, 3, 5])
+    def test_kkt_conditions(self, k):
+        """Projected point is in K; for outside points it sits on the
+        boundary with (p - p_hat) parallel to the constraint normal
+        (1, b_hat) with a nonnegative multiplier — the full KKT system
+        of the projection, independent of the cubic-root derivation."""
+        p = jnp.asarray(RNG.standard_normal((1 + k, 2000)), jnp.float64)
+        ph = np.asarray(project_paraboloid_nd(p))
+        p = np.asarray(p)
+        a, b = ph[0], ph[1:]
+        g = a + 0.5 * np.sum(b * b, axis=0)
+        assert g.max() < 1e-9                       # feasible
+        outside = (p[0] + 0.5 * np.sum(p[1:] ** 2, axis=0)) > 1e-9
+        assert abs(g[outside]).max() < 1e-9         # active constraint
+        lam = p[0][outside] - a[outside]            # multiplier from the
+        assert lam.min() > -1e-9                    # alpha component
+        # beta components: p_i - b_i = lam * b_i
+        resid = (p[1:][:, outside] - b[:, outside]
+                 - lam[None] * b[:, outside])
+        assert abs(resid).max() < 1e-7
+
+    def test_inside_points_untouched(self):
+        a = -jnp.abs(jnp.asarray(RNG.standard_normal(200))) * 3 - 2.0
+        b = jnp.asarray(RNG.standard_normal((3, 200))) * 0.5
+        p = jnp.concatenate([a[None], b])
+        np.testing.assert_array_equal(np.asarray(project_paraboloid_nd(p)),
+                                      np.asarray(p))
+
+
+@pytest.fixture(scope="module")
+def translated_pair():
+    ny = nx = 48
+    a = _blob(ny, nx, 24, 22)
+    b = _blob(ny, nx, 24, 26)
+    a, b = a / a.sum(), b / b.sum()
+    s = max(a.max(), b.max())
+    return jnp.asarray(a / s), jnp.asarray(b / s)
+
+
+def test_delta_inf_matches_balanced(translated_pair):
+    """delta -> inf turns the source off: potential and distance match
+    the balanced FOTO solve on a mass-balanced pair."""
+    r0, rT = translated_pair
+    # 150 iterations: before the stagnation guard's knife edge (the 1e-8
+    # eps shift flips |d crit| < 1e-5 around iteration ~170), so both
+    # while_loop solvers run the full budget and compare step-for-step
+    kw = dict(r=0.1, reg_epsilon=1e-3, convergence_tol=0.0, max_it=150)
+    stW = wfr.solve_potential(r0, rT, 8, delta=1e4, **kw)
+    stF = foto.solve_potential(r0, rT, 8, ops=foto.DCT_OPS, **kw)
+    assert int(stW.iteration) == int(stF.iteration) == 150
+    assert float(jnp.max(jnp.abs(stW.phi - stF.phi))) < 1e-3
+    w2 = float(foto.wasserstein2(stF))
+    d = float(wfr.wfr_distance(stW))
+    assert abs(d - w2) / w2 < 1e-4
+    # and the source channel stays negligible
+    assert float(jnp.max(jnp.abs(stW.mu[3]))) < 1e-3
+
+
+def test_pure_growth():
+    """Same blob, 1.5x the mass: the geodesic is pure Fisher–Rao — no
+    transport, source accounts for the created mass (continuity)."""
+    ny = nx = 48
+    a = _blob(ny, nx, 24, 24)
+    a = a / a.sum()
+    r0 = jnp.asarray(a / a.max())
+    rT = 1.5 * r0
+    res = wfr.solve(r0, rT, 8, delta=5.0, r=0.1, reg_epsilon=1e-3,
+                    convergence_tol=0.0, max_it=300)
+    sup = np.asarray(r0) > 0.1
+    assert abs(np.asarray(res.u)[sup]).max() < 0.5
+    assert abs(np.asarray(res.v)[sup]).max() < 0.5
+    created = float(wfr.total_created_mass(res.state, 5.0))
+    want = float(jnp.sum(rT - r0))
+    assert abs(created - want) / want < 0.1
+    # growth field ~ the 50% brightening on the support
+    assert abs(float(res.growth[24, 24]) - 0.5) < 0.12
+
+
+def test_translation_with_brightening():
+    """Blob translating 4 px AND brightening 40%: with a transport-scale
+    delta the flow tracks the translation while the source captures the
+    brightening — the regime where balanced OT must distort the flow to
+    conserve mass (the physics of the reference's 'lum' datasets)."""
+    ny = nx = 48
+    a = _blob(ny, nx, 24, 22)
+    b = 1.4 * _blob(ny, nx, 24, 26)
+    sc = a.max()
+    r0, rT = jnp.asarray(a / sc), jnp.asarray(b / sc)
+    sup = (a / sc) > 0.1
+    res = wfr.solve(r0, rT, 8, delta=20.0, r=0.1, reg_epsilon=1e-3,
+                    convergence_tol=0.0, max_it=150)
+    u = np.asarray(res.u)
+    v = np.asarray(res.v)
+    assert 3.0 < u[sup].mean() < 4.5          # tracks the 4 px shift
+    assert abs(v[sup].mean()) < 0.2
+    assert float(res.growth[24, 26]) > 0.15   # captures the brightening
+    # total mass the source creates matches the unbalanced pair
+    created = float(wfr.total_created_mass(res.state, 20.0))
+    want = float(jnp.sum(rT - r0))
+    assert abs(created - want) / want < 0.25
+
+
+def test_checkpoint_roundtrip(translated_pair, tmp_path):
+    """The 4-component state checkpoints through the existing machinery."""
+    from ofot_tpu.utils import checkpoint
+
+    r0, rT = translated_pair
+    st = wfr.solve_potential(r0, rT, 4, delta=10.0, r=0.5,
+                             reg_epsilon=1e-2, convergence_tol=0.0,
+                             max_it=5)
+    checkpoint.save_state(str(tmp_path / "w"), st)
+    back = checkpoint.load_state(str(tmp_path / "w"))
+    np.testing.assert_array_equal(np.asarray(st.mu), np.asarray(back.mu))
+    resumed = wfr.solve_potential(r0, rT, 4, delta=10.0, r=0.5,
+                                  reg_epsilon=1e-2, convergence_tol=0.0,
+                                  max_it=10, init=back)
+    assert int(resumed.iteration) == 10
