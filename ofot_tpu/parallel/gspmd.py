@@ -40,3 +40,12 @@ def solve_gn_sharded(f1, f2, mesh: Mesh, alpha=0.1, lambda_=0.2, **kw):
     """GN solve with (y, x)-tiled fields."""
     f1, f2 = shard_pair(f1, f2, mesh)
     return gn.solve_fields(f1, f2, alpha, lambda_, **kw)
+
+
+def solve_wfr_sharded(rho0, rhoT, Nt: int, mesh: Mesh, **kw):
+    """Unbalanced (WFR) ALG2 with (y, x)-tiled fields — the source channel
+    is pointwise, so it shards exactly like the balanced components."""
+    from ofot_tpu.solvers import wfr
+
+    rho0, rhoT = shard_pair(rho0, rhoT, mesh)
+    return wfr.solve_potential(rho0, rhoT, Nt, **kw)

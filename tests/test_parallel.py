@@ -154,6 +154,22 @@ class TestGspmd:
         np.testing.assert_allclose(np.asarray(sharded.u),
                                    np.asarray(whole.u), atol=1e-8)
 
+    def test_wfr_gspmd_sharded_equals_whole(self, mesh4):
+        """Unbalanced solver under GSPMD tiling, on an unbalanced pair."""
+        from ofot_tpu.solvers import wfr
+        f1, f2 = fixtures.smooth_blob_pair(16, 24)
+        f2 = 1.3 * f2
+        kw = dict(delta=10.0, r=0.5, convergence_tol=1e-6,
+                  reg_epsilon=1e-2, max_it=6)
+        whole = wfr.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                                    **kw)
+        sharded = gspmd.solve_wfr_sharded(jnp.asarray(f1),
+                                          jnp.asarray(f2), 4, mesh4, **kw)
+        np.testing.assert_allclose(np.asarray(sharded.phi),
+                                   np.asarray(whole.phi), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(sharded.mu[3]),
+                                   np.asarray(whole.mu[3]), atol=1e-8)
+
 
 class TestSweep:
     def test_batch_matches_individual(self):
