@@ -38,6 +38,12 @@ MIDDLEBURY2_GT_URL = ("https://vision.middlebury.edu/flow/data/comp/zip/"
                       "other-gt-flow.zip")
 
 GN_ARGS = ["--algo=GN", "--alpha=0.1", "--lambda=0.2"]
+# framework extension: unbalanced OT over the sweep (same production
+# budget as FOTO; delta=20 px keeps genuine motion in the transport
+# channel and routes illumination change to the source)
+WFR_ARGS = ["--algo=WFR", "--r=1", "--convergence-tol=0.01",
+            "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200",
+            "--wfr-delta=20"]
 FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
              "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200"]
 
@@ -223,7 +229,9 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
             "--quiet"]
     if ground_truth is not None:
         argv.append(f"--ground-truth={ground_truth}")
-    argv += GN_ARGS if algo == "GN" else FOTO_ARGS
+    argv += {"GN": GN_ARGS, "foto": FOTO_ARGS, "WFR": WFR_ARGS}[algo]
+    if algo == "WFR":
+        argv.append(f"--save-growth={out_dir}/wfr.growth.png")
     argv += extra_cli
     t0 = time.time()
     rc = cli_main.main(argv)
@@ -293,14 +301,16 @@ def cmd_run(args) -> int:
 
 
 def _validate_algos(algos_csv: str) -> list[str]:
-    """The sweep supports exactly the reference run.sh's two algorithms;
-    anything else must fail loudly instead of silently running as one of
-    them (single-pair runs of other solvers go through cli/main.py)."""
+    """The sweep runs the reference run.sh's two algorithms plus the
+    framework's WFR extension (opt-in via --algos GN,foto,WFR); anything
+    else must fail loudly instead of silently running as one of them
+    (single-pair runs of other solvers go through cli/main.py)."""
     algos = algos_csv.split(",")
-    bad = [a for a in algos if a not in ("GN", "foto")]
+    bad = [a for a in algos if a not in ("GN", "foto", "WFR")]
     if bad:
         raise SystemExit(f"unknown --algos entries {bad}; the sweep runs "
-                         "'GN' and/or 'foto' (reference run.sh:81-157)")
+                         "'GN', 'foto' (reference run.sh:81-157) and/or "
+                         "'WFR' (framework extension)")
     return algos
 
 
@@ -313,6 +323,8 @@ def _batched_params(extra: str):
     foto_params = dict(Nt=16, r=1.0, convergence_tol=0.01,
                        reg_epsilon=1e-2, max_it=200)
     gn_params = dict(alpha=0.1, lambda_=0.2)
+    wfr_params = dict(Nt=16, delta=20.0, r=1.0, convergence_tol=0.01,
+                      reg_epsilon=1e-2, max_it=200)
     key_map = {"Nt": ("foto", "Nt", int), "r": ("foto", "r", float),
                "convergence-tol": ("foto", "convergence_tol", float),
                "reg-epsilon": ("foto", "reg_epsilon", float),
@@ -320,7 +332,9 @@ def _batched_params(extra: str):
                "alpha": ("gn", "alpha", float),
                "lambdaa": ("gn", "lambda_", float),
                "admm-alpha": ("foto", "admm_alpha", float),
-               "stepA-solver": ("foto", "stepA_solver", str)}
+               "stepA-solver": ("foto", "stepA_solver", str),
+               "wfr-delta": ("wfr", "delta", float)}
+    by_which = {"foto": foto_params, "gn": gn_params, "wfr": wfr_params}
     for tok in (extra or "").split():
         if not tok.startswith("--") or "=" not in tok:
             continue
@@ -329,8 +343,11 @@ def _batched_params(extra: str):
                    [key for key in key_map if key.startswith(k)])
         if len(matches) == 1:
             which, name, cast = key_map[matches[0]]
-            (foto_params if which == "foto" else gn_params)[name] = cast(v)
-    return foto_params, gn_params
+            by_which[which][name] = cast(v)
+            # the FOTO solve knobs apply to the unbalanced sweep too
+            if which == "foto" and name in wfr_params:
+                wfr_params[name] = cast(v)
+    return foto_params, gn_params, wfr_params
 
 
 def cmd_run_batch(args) -> int:
@@ -362,7 +379,7 @@ def cmd_run_batch(args) -> int:
     manifest = (json.loads(manifest_path.read_text())
                 if manifest_path.exists() else {})
     algos = _validate_algos(args.algos)
-    foto_params, gn_params = _batched_params(args.extra_args)
+    foto_params, gn_params, wfr_params = _batched_params(args.extra_args)
     mesh = (make_mesh({"data": args.data_parallel})
             if args.data_parallel > 1 else None)
 
@@ -404,8 +421,9 @@ def cmd_run_batch(args) -> int:
                       f"n={n} ==", flush=True)
                 t0 = _time.time()
                 u, v, m, diag = sweep_mod.solve_batch_full(
-                    "foto" if algo == "foto" else "GN", f1s, f2s, mesh,
-                    foto_params=foto_params, gn_params=gn_params)
+                    algo, f1s, f2s, mesh,
+                    foto_params=foto_params, gn_params=gn_params,
+                    wfr_params=wfr_params)
                 jax.block_until_ready(u)
                 wall = _time.time() - t0
                 rec = jax.vmap(warp.apply_flow)(

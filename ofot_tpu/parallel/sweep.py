@@ -74,7 +74,8 @@ def solve_gn_batch(f1s, f2s, mesh: Mesh | None = None,
 
 def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
                      foto_params: dict | None = None,
-                     gn_params: dict | None = None):
+                     gn_params: dict | None = None,
+                     wfr_params: dict | None = None):
     """Batched end-to-end solve -> (u, v, m) stacks plus diagnostics.
 
     One jitted program per shape group: solver + flow extraction vmapped
@@ -99,6 +100,12 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         run = _batched_foto_fn(Nt, tuple(sorted(fp.items())))
         return run(f1s, f2s)
 
+    if algo == "WFR":
+        wp = dict(wfr_params or {})
+        Nt = wp.pop("Nt", 16)
+        run = _batched_wfr_fn(Nt, tuple(sorted(wp.items())))
+        return run(f1s, f2s)
+
     gp = dict(gn_params or {})
     run = _batched_gn_fn(tuple(sorted(gp.items())))
     return run(f1s, f2s)
@@ -119,6 +126,19 @@ def _batched_foto_fn(Nt, fp_items):
         return u, v, m, {"iterations": st.iteration,
                          "inner_iterations": st.cg_iterations,
                          "crit": st.crit}
+    return run
+
+
+@lru_cache(maxsize=64)
+def _batched_wfr_fn(Nt, wp_items):
+    from ofot_tpu.solvers import flow_extract, wfr
+    wp = dict(wp_items)
+
+    @jax.jit
+    def run(a, b):
+        st = jax.vmap(lambda p, q: wfr.solve_potential(p, q, Nt, **wp))(a, b)
+        u, v, m = jax.vmap(flow_extract.flow_from_potential)(st.phi)
+        return u, v, m, {"iterations": st.iteration, "crit": st.crit}
     return run
 
 

@@ -71,6 +71,31 @@ def test_middlebury2_ground_truth_path(tmp_path):
     assert "AE-mean:" in txt
 
 
+def test_wfr_sweep(tmp_path):
+    """--algos WFR runs the unbalanced solver over the sweep with its own
+    artifacts (growth map) and flag file, per-sequence and batched."""
+    _mk_mb1(tmp_path / "data")
+    args = ["run", "--data-root", str(tmp_path / "data"),
+            "--results", str(tmp_path / "results"),
+            "--datasets", "middlebury-1", "--algos", "WFR",
+            "--platform=cpu", "--extra-args",
+            " ".join(FAST + ["--wfr-delta=15"])]
+    assert pipeline.main(args) == 0
+    seq = tmp_path / "results" / "middlebury-1" / "seq0"
+    for f in ("wfr.flo", "wfr.benchmark.txt", "wfr.growth.png", "wfr.png",
+              ".out.wfr.sucess"):
+        assert (seq / f).exists(), f
+
+    batch = ["run", "--batch", "--data-root", str(tmp_path / "data"),
+             "--results", str(tmp_path / "results-b"),
+             "--datasets", "middlebury-1", "--algos", "WFR",
+             "--platform=cpu", "--extra-args",
+             " ".join(FAST + ["--wfr-delta=15"])]
+    assert pipeline.main(batch) == 0
+    seqb = tmp_path / "results-b" / "middlebury-1" / "seq0"
+    assert (seqb / "wfr.flo").exists()
+
+
 def test_unknown_algo_rejected(tmp_path):
     _mk_mb1(tmp_path / "data")
     args = ["run", "--data-root", str(tmp_path / "data"),
@@ -84,10 +109,13 @@ def test_unknown_algo_rejected(tmp_path):
 def test_batched_params_prefix_matching():
     """--lambda must reach lambdaa like argparse prefix matching does on
     the per-sequence path (SURVEY.md quirk 4); ambiguous prefixes skip."""
-    fp, gp = pipeline._batched_params("--lambda=0.4 --conv=0.2 --a=9")
+    fp, gp, wp = pipeline._batched_params(
+        "--lambda=0.4 --conv=0.2 --a=9 --wfr-delta=15")
     assert gp["lambda_"] == 0.4
     assert fp["convergence_tol"] == 0.2
     assert gp["alpha"] == 0.1          # "--a" is ambiguous (alpha/admm-alpha)
+    assert wp["delta"] == 15.0
+    assert wp["convergence_tol"] == 0.2   # foto solve knobs flow to WFR
 
 
 def test_batch_mode_ground_truth_metrics(tmp_path):
