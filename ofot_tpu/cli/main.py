@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="WFR transport/growth trade-off length in pixels "
                         "(--algo=WFR; mass moves below ~pi*delta/2 px and "
                         "is created/destroyed beyond)")
+    p.add_argument("--sinkhorn-epsilon", type=float, default=4.0,
+                   help="entropic regularization in px^2 for --algo=sinkhorn "
+                        "(f32 envelope: eps >= 3; use --precision=f64 below)")
+    p.add_argument("--sinkhorn-tol", type=float, default=1e-4,
+                   help="marginal L1 convergence tolerance for "
+                        "--algo=sinkhorn")
     p.add_argument("--save-growth", nargs="?",
                    help="file output of the WFR growth field (the "
                         "brightness-change map the source term explains)")
@@ -231,6 +237,34 @@ def main(argv=None) -> int:
             image.save_grayscale(
                 np.clip((np.asarray(result.growth) + 1) / 2, 0, 1
                         ).reshape(h, w), args.save_growth)
+    elif args.algo == "sinkhorn":
+        # framework extension: static entropic OT — one Sinkhorn solve +
+        # barycentric flow extraction instead of a dynamic ALG2 iteration
+        # (pure MXU matmuls; the reference has no static-OT path at all)
+        print(" - algorithm: sinkhorn (static entropic OT)")
+        print(f"\t - epsilon={args.sinkhorn_epsilon}")
+        print(f"\t - tol={args.sinkhorn_tol}")
+        print(f"\t - max_it={args.max_it}")
+        from ofot_tpu.solvers import sinkhorn
+        from ofot_tpu.ops import operators
+        res = sinkhorn.flow(
+            rho1_d, rho2_d, args.sinkhorn_epsilon,
+            max_iter=args.max_it, tol=args.sinkhorn_tol)
+        jax.block_until_ready(res.u)
+        # luminosity from the displacement's divergence, same convention
+        # as the dynamic extraction (reference benamou_brenier.py:270)
+        m_d = -operators.div2d(res.u, res.v, bc="D")
+        u, v, m = np.asarray(res.u), np.asarray(res.v), np.asarray(m_d)
+        solver_stats = {"iterations": int(res.iterations),
+                        "marginal_error": float(res.marginal_error),
+                        "epsilon": args.sinkhorn_epsilon}
+        if not args.quiet or args.log_jsonl:
+            w2 = float(sinkhorn.wasserstein2_entropic(
+                rho1_d, rho2_d, args.sinkhorn_epsilon,
+                max_iter=args.max_it, tol=args.sinkhorn_tol))
+            solver_stats["wasserstein2"] = w2
+            if not args.quiet:
+                print(f"W2_entropic(rho0, rhoT) = {w2:.6g} px")
     elif args.algo == "HS":
         # framework extension: classic Horn-Schunck (no luminosity field)
         print(" - algorithm: HS")
@@ -245,7 +279,7 @@ def main(argv=None) -> int:
                         "converged": bool(res.cg.converged)}
     else:
         print(f"ERROR: unknown --algo '{args.algo}' "
-              f"(expected foto, GN, HS, or WFR)", file=sys.stderr)
+              f"(expected foto, GN, HS, WFR, or sinkhorn)", file=sys.stderr)
         return 2
     timer = time.time() - start_time
 

@@ -62,6 +62,24 @@ def test_wfr_writes_artifacts(frames, tmp_path):
     assert "wfr_distance" in rec and "created_mass" in rec
 
 
+def test_sinkhorn_writes_artifacts(frames, tmp_path):
+    rc = _run(frames, tmp_path, "--algo=sinkhorn", "--max-it=500",
+              "--sinkhorn-epsilon=4.0", "--normalize",
+              f"--out={tmp_path}/sk.flo",
+              f"--save-benchmark={tmp_path}/b.txt",
+              f"--log-jsonl={tmp_path}/log.jsonl")
+    assert rc == 0
+    w, h, u, v = flo.read_flo(str(tmp_path / "sk.flo"))
+    assert (w, h) == (24, 24)
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    # the square translates by n//6 = (4, 4) (fixtures.translating_square);
+    # the plan's barycentric map must move its mass accordingly
+    assert abs(u[np.abs(u) > 0.5].mean() - 4.0) < 0.5
+    import json
+    rec = json.loads((tmp_path / "log.jsonl").read_text().splitlines()[-1])
+    assert "marginal_error" in rec and "wasserstein2" in rec
+
+
 def test_ground_truth_metrics(frames, tmp_path):
     # synthetic GT: constant (4, 4) flow
     w = h = 24

@@ -77,3 +77,46 @@ def test_matches_dynamic_w2():
     w2_dynamic = float(foto.wasserstein2(st))
     assert abs(w2_static - w2_dynamic) / w2_static < 0.1, \
         (w2_static, w2_dynamic)
+
+
+def test_flow_recovers_translation():
+    """Debiased barycentric flow of a translated blob == the shift,
+    pointwise across the whole support.  Without the self-map debiasing
+    the entropic blur contracts the raw map toward the mass center
+    (~0.5 px at the 5% level on this pair) — asserted too, as the
+    documented reason ``debias`` defaults on."""
+    a_np = _blob(48, 56, 24, 22)
+    b_np = _blob(48, 56, 27, 25)            # dy = 3, dx = 3
+    r = sinkhorn.flow(jnp.asarray(a_np), jnp.asarray(b_np), 4.0,
+                      max_iter=2000, tol=1e-6)
+    assert float(r.marginal_error) <= 1e-6
+    an = a_np / a_np.sum()
+    u, v = np.asarray(r.u), np.asarray(r.v)
+    assert abs((an * u).sum() - 3.0) < 5e-3
+    assert abs((an * v).sum() - 3.0) < 5e-3
+    sup = an > 0.05 * an.max()
+    assert np.abs(u[sup] - 3.0).max() < 1e-3
+    assert np.abs(v[sup] - 3.0).max() < 1e-3
+    # displacement is zeroed off the support
+    off = an <= 1e-3 * an.max()
+    assert np.all(u[off] == 0) and np.all(v[off] == 0)
+    # the raw (undebiased) map carries the contraction the debiasing
+    # removes — mass-weighted mean still exact, fringe shrunk
+    raw = sinkhorn.flow(jnp.asarray(a_np), jnp.asarray(b_np), 4.0,
+                        max_iter=2000, tol=1e-6, debias=False)
+    u_raw = np.asarray(raw.u)
+    assert abs((an * u_raw).sum() - 3.0) < 5e-3
+    assert np.abs(u_raw[sup] - 3.0).max() > 0.3
+
+
+def test_flow_f32():
+    """The extraction survives f32 (the TPU dtype) at eps in the
+    documented envelope — same gauge-free ratio stabilization as the
+    cost."""
+    a = jnp.asarray(_blob(40, 40, 20, 17), jnp.float32)
+    b = jnp.asarray(_blob(40, 40, 20, 21), jnp.float32)
+    r = sinkhorn.flow(a, b, 4.0, max_iter=1500)
+    an = np.asarray(a) / float(np.asarray(a).sum())
+    assert r.u.dtype == jnp.float32
+    assert abs(float((an * np.asarray(r.u)).sum()) - 4.0) < 0.02
+    assert abs(float((an * np.asarray(r.v)).sum())) < 0.02
