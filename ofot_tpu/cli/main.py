@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="WFR transport/growth trade-off length in pixels "
                         "(--algo=WFR; mass moves below ~pi*delta/2 px and "
                         "is created/destroyed beyond)")
+    p.add_argument("--auto-r", action="store_true",
+                   help="rescale the ADMM penalty r to the data scale "
+                        "(r * max density).  ALG2 convergence depends on "
+                        "r/peak-density, not r: the reference's r=1 "
+                        "default assumes peak~1 frames (normalize_image"
+                        ".py-prepared); unit-MASS inputs stall without "
+                        "this.  Off by default for reference parity")
     p.add_argument("--sinkhorn-epsilon", type=float, default=4.0,
                    help="entropic regularization in px^2 for --algo=sinkhorn "
                         "(f32 envelope: eps >= 3; use --precision=f64 below)")
@@ -161,7 +168,7 @@ def main(argv=None) -> int:
             convergence_tol=args.convergence_tol,
             reg_epsilon=args.reg_epsilon, max_it=args.max_it,
             verbose=not args.quiet, init=init, ops=ops,
-            admm_alpha=args.admm_alpha)
+            admm_alpha=args.admm_alpha, auto_r=args.auto_r)
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
                    np.asarray(result.m))
         jax.block_until_ready(result.state.phi)
@@ -215,7 +222,7 @@ def main(argv=None) -> int:
             rho1_d, rho2_d, args.Nt, delta=args.wfr_delta, r=args.r,
             convergence_tol=args.convergence_tol,
             reg_epsilon=args.reg_epsilon, max_it=args.max_it,
-            verbose=not args.quiet, init=init)
+            verbose=not args.quiet, init=init, auto_r=args.auto_r)
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
                    np.asarray(result.m))
         jax.block_until_ready(result.state.phi)

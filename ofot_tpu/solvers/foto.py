@@ -290,11 +290,34 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                      done=done)
 
 
+def scale_invariant_r(rho0, rhoT, r=1.0):
+    """ADMM penalty matched to the data scale: ``r * max(rho)``.
+
+    The ALG2 iteration is exactly invariant under ``(mu, rho, r) ->
+    (c*mu, c*rho, c*r)`` (every update is jointly 1-homogeneous: stepA's
+    system and RHS both scale by c, stepB's argument ``grad_phi + mu/r``
+    is unchanged, stepC's ``mu += r*(grad_phi - q)`` scales by c), so the
+    *ratio* r/peak-density is what governs convergence — not r itself.
+    The reference hardcodes r=1 for peak~1 inputs (run.sh:114 on
+    normalize_image.py-prepared frames, both divided by their common max);
+    feed it unit-MASS densities (peak ~1e-2 at VGA) instead and the same
+    r=1 is ~100x over-penalized — ALG2 stalls on the stagnation guard
+    having moved almost no mass (measured: mass-weighted displacement
+    0.03 of a true 4 px at 48x56).  ``r_eff = r * max(rho)`` reproduces
+    the peak-1 behavior at ANY input scaling.  Traced (data-dependent),
+    so it works under vmap/shard_map batching.
+    """
+    return r * jnp.maximum(jnp.max(rho0), jnp.max(rhoT))
+
+
 def alg2_loop(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
               reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
               cg_maxiter=1000, verbose=False, ops=DEFAULT_OPS,
-              admm_alpha=1.0, init: FotoState | None = None) -> FotoState:
+              admm_alpha=1.0, auto_r=False,
+              init: FotoState | None = None) -> FotoState:
     """Unjitted ALG2 while_loop — callable directly inside shard_map."""
+    if auto_r:
+        r = scale_invariant_r(rho0, rhoT, r)
     state = init_state(rho0, rhoT, Nt) if init is None else init
 
     def cond(s: FotoState):
@@ -311,11 +334,11 @@ def alg2_loop(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
 
 
 @partial(jax.jit, static_argnames=("Nt", "max_it", "cg_maxiter", "verbose",
-                                   "ops", "admm_alpha"))
+                                   "ops", "admm_alpha", "auto_r"))
 def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
                     reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
                     cg_maxiter=1000, verbose=False, ops=DEFAULT_OPS,
-                    admm_alpha=1.0,
+                    admm_alpha=1.0, auto_r=False,
                     init: FotoState | None = None) -> FotoState:
     """Run the ALG2 loop to convergence; returns the final solver state.
 
@@ -323,12 +346,14 @@ def solve_potential(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
     (reference benamou_brenier.py:151); the CLI overrides them like
     reference main.py does.  Pass ``init`` (e.g. from a checkpoint) to
     resume a long solve.  ``admm_alpha`` != 1 enables over-relaxed ADMM
-    (see :func:`alg2_iteration`).
+    (see :func:`alg2_iteration`); ``auto_r`` rescales the penalty to the
+    data scale (see :func:`scale_invariant_r` — off by default for
+    reference parity).
     """
     return alg2_loop(rho0, rhoT, Nt, r=r, convergence_tol=convergence_tol,
                      reg_epsilon=reg_epsilon, max_it=max_it, cg_rtol=cg_rtol,
                      cg_maxiter=cg_maxiter, verbose=verbose, ops=ops,
-                     admm_alpha=admm_alpha, init=init)
+                     admm_alpha=admm_alpha, auto_r=auto_r, init=init)
 
 
 @partial(jax.jit, static_argnames=("Nt", "iterations", "cg_maxiter", "ops",
@@ -399,7 +424,7 @@ def wasserstein2(state: FotoState) -> jnp.ndarray:
 
 def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
           max_it=100, cg_rtol=1e-6, cg_maxiter=1000, verbose=False,
-          ops=DEFAULT_OPS, admm_alpha=1.0,
+          ops=DEFAULT_OPS, admm_alpha=1.0, auto_r=False,
           init: FotoState | None = None) -> FotoResult:
     """Full FOTO solve: ALG2 on the potential, then flow extraction
     (trajectory integration + luminosity), mirroring the reference's
@@ -413,6 +438,6 @@ def solve(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
         rho0, rhoT, Nt, r=r, convergence_tol=convergence_tol,
         reg_epsilon=reg_epsilon, max_it=max_it, cg_rtol=cg_rtol,
         cg_maxiter=cg_maxiter, verbose=verbose, ops=ops,
-        admm_alpha=admm_alpha, init=init)
+        admm_alpha=admm_alpha, auto_r=auto_r, init=init)
     u, v, m = flow_extract.flow_from_potential(state.phi)
     return FotoResult(u=u, v=v, m=m, state=state)

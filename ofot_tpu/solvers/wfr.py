@@ -141,14 +141,21 @@ def alg2_iteration(state: foto.FotoState, rho0, rhoT, *, r, delta,
                           done=done)
 
 
-@partial(jax.jit, static_argnames=("Nt", "max_it", "verbose"))
+@partial(jax.jit, static_argnames=("Nt", "max_it", "verbose", "auto_r"))
 def solve_potential(rho0, rhoT, Nt, *, delta=10.0, r=1.0,
                     convergence_tol=0.3, reg_epsilon=1e-3, max_it=100,
-                    verbose=False,
+                    verbose=False, auto_r=False,
                     init: foto.FotoState | None = None) -> foto.FotoState:
-    """Run the unbalanced ALG2 loop to convergence (jitted while_loop)."""
+    """Run the unbalanced ALG2 loop to convergence (jitted while_loop).
+
+    ``auto_r`` rescales the ADMM penalty to the data scale (the WFR
+    action and every ALG2 update are jointly 1-homogeneous in
+    (rho, m, zeta, r) exactly as in the balanced case — see
+    :func:`foto.scale_invariant_r`)."""
     rho0 = jnp.asarray(rho0)
     rhoT = jnp.asarray(rhoT)
+    if auto_r:
+        r = foto.scale_invariant_r(rho0, rhoT, r)
     state = init_state(rho0, rhoT, Nt) if init is None else init
 
     def cond(s):
@@ -164,14 +171,14 @@ def solve_potential(rho0, rhoT, Nt, *, delta=10.0, r=1.0,
 
 
 def solve(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
-          reg_epsilon=1e-3, max_it=100, verbose=False,
+          reg_epsilon=1e-3, max_it=100, verbose=False, auto_r=False,
           init: foto.FotoState | None = None) -> WfrResult:
     """Full unbalanced solve: potential -> (u, v, m) displacement flow
     plus the source/growth fields balanced OT cannot represent."""
     state = solve_potential(rho0, rhoT, Nt, delta=delta, r=r,
                             convergence_tol=convergence_tol,
                             reg_epsilon=reg_epsilon, max_it=max_it,
-                            verbose=verbose, init=init)
+                            verbose=verbose, auto_r=auto_r, init=init)
     u, v, m = flow_from_potential(state.phi)
     zeta = state.mu[3] / delta
     # relative growth rate g = zeta / rho; brightness multiplier over the

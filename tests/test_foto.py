@@ -200,3 +200,53 @@ def test_wasserstein2_of_translation():
     # kinetic action is invariant under the mass scale used (both scale
     # linearly); wasserstein2 normalizes it away
     assert float(foto.kinetic_action(st.mu)) > 0
+
+
+class TestAutoR:
+    """Scale-invariant ADMM penalty (foto.scale_invariant_r / auto_r)."""
+
+    def _pair(self):
+        y, x = np.mgrid[0:32, 0:36].astype(np.float64)
+
+        def blob(cy, cx):
+            return np.exp(-(((y - cy) / 5.0) ** 2 + ((x - cx) / 5.0) ** 2))
+
+        a, b = blob(16, 14), blob(16, 18)
+        return a / a.sum(), b / b.sum()      # unit MASS -> peak ~8e-3
+
+    def test_exact_invariance(self):
+        """auto_r on raw inputs == manual peak normalization, bitwise-ish:
+        the ALG2 iteration is jointly 1-homogeneous in (mu, rho, r)."""
+        a, b = self._pair()
+        p = max(a.max(), b.max())
+        ra = foto.solve_potential(
+            jnp.asarray(a), jnp.asarray(b), 6, r=0.1, reg_epsilon=1e-3,
+            convergence_tol=1e-4, max_it=120, ops=foto.DCT_OPS, auto_r=True)
+        rb = foto.solve_potential(
+            jnp.asarray(a / p), jnp.asarray(b / p), 6, r=0.1,
+            reg_epsilon=1e-3, convergence_tol=1e-4, max_it=120,
+            ops=foto.DCT_OPS)
+        assert int(ra.iteration) == int(rb.iteration)
+        assert float(jnp.max(jnp.abs(ra.phi - rb.phi))) < 1e-10
+
+    def test_fixes_unit_mass_stall(self):
+        """With r=1 on unit-mass inputs ALG2 stalls on the stagnation
+        guard having moved almost no mass; auto_r recovers the
+        translation (the documented motivation for the flag)."""
+        from ofot_tpu.solvers import flow_extract
+        a, b = self._pair()
+        an = a / a.sum()
+
+        def mw_u(state):
+            u, _, _ = flow_extract.flow_from_potential(state.phi)
+            return float((an * np.asarray(u)).sum())
+
+        stalled = foto.solve_potential(
+            jnp.asarray(a), jnp.asarray(b), 6, r=1.0, reg_epsilon=1e-3,
+            convergence_tol=1e-4, max_it=400, ops=foto.DCT_OPS)
+        fixed = foto.solve_potential(
+            jnp.asarray(a), jnp.asarray(b), 6, r=0.1, reg_epsilon=1e-3,
+            convergence_tol=1e-4, max_it=400, ops=foto.DCT_OPS,
+            auto_r=True)
+        assert abs(mw_u(stalled)) < 1.0          # barely moved (true: 4)
+        assert abs(mw_u(fixed) - 4.0) < 0.5      # recovered
