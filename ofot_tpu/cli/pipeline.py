@@ -46,6 +46,10 @@ WFR_ARGS = ["--algo=WFR", "--r=1", "--convergence-tol=0.01",
             "--wfr-delta=20"]
 FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
              "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200"]
+# framework extension: static entropic OT — one Sinkhorn solve per pair
+# instead of 200 ALG2 iterations (flow = debiased barycentric projection)
+SINKHORN_ARGS = ["--algo=sinkhorn", "--sinkhorn-epsilon=4.0",
+                 "--max-it=1000"]
 
 _NATIVE_COLOR_FLOW = Path(__file__).resolve().parent.parent / "native" / "color_flow"
 
@@ -229,7 +233,8 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
             "--quiet"]
     if ground_truth is not None:
         argv.append(f"--ground-truth={ground_truth}")
-    argv += {"GN": GN_ARGS, "foto": FOTO_ARGS, "WFR": WFR_ARGS}[algo]
+    argv += {"GN": GN_ARGS, "foto": FOTO_ARGS, "WFR": WFR_ARGS,
+             "sinkhorn": SINKHORN_ARGS}[algo]
     if algo == "WFR":
         argv.append(f"--save-growth={out_dir}/wfr.growth.png")
     argv += extra_cli
@@ -306,11 +311,11 @@ def _validate_algos(algos_csv: str) -> list[str]:
     else must fail loudly instead of silently running as one of them
     (single-pair runs of other solvers go through cli/main.py)."""
     algos = algos_csv.split(",")
-    bad = [a for a in algos if a not in ("GN", "foto", "WFR")]
+    bad = [a for a in algos if a not in ("GN", "foto", "WFR", "sinkhorn")]
     if bad:
         raise SystemExit(f"unknown --algos entries {bad}; the sweep runs "
                          "'GN', 'foto' (reference run.sh:81-157) and/or "
-                         "'WFR' (framework extension)")
+                         "the framework extensions 'WFR' and 'sinkhorn'")
     return algos
 
 
