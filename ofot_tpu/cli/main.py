@@ -66,12 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="suppress per-iteration solver prints")
     p.add_argument("--stepA-solver",
                    choices=["cg", "dct", "dct-refined", "pallas", "auto"],
-                   default="cg",
+                   default="auto",
                    help="FOTO stepA backend: cg = reference-faithful "
                         "iterative solve; dct = exact spectral solve (MXU); "
                         "dct-refined = bf16 spectral solve + f32 iterative "
                         "refinement; pallas = dct + fused Pallas "
-                        "projection; auto = pallas on TPU, cg elsewhere")
+                        "projection; auto (default) = the measured-fastest "
+                        "backend per platform/grid — spectral on TPU "
+                        "(24x the cg iteration at 320x240, BENCHMARKS.md), "
+                        "cg on cpu/gpu")
     p.add_argument("--admm-alpha", type=float, default=1.0,
                    help="ADMM over-relaxation factor for FOTO (1.0 = exact "
                         "reference iteration; 1.5-1.8 typically converges "
@@ -254,6 +257,14 @@ def main(argv=None) -> int:
         print(f"\t - max_it={args.max_it}")
         from ofot_tpu.solvers import sinkhorn
         from ofot_tpu.ops import operators
+        if args.sinkhorn_epsilon < 3 and args.precision != "f64":
+            # measured f32 envelope (solvers/sinkhorn.py module docstring):
+            # the dual potentials' dynamic range exceeds f32's exp window
+            # below eps ~ 3 px^2 and the returned flow degrades silently
+            print(f"WARNING: --sinkhorn-epsilon={args.sinkhorn_epsilon} is "
+                  "below the validated f32 envelope (eps >= 3); results "
+                  "may be degraded — use --precision=f64 or a larger eps",
+                  file=sys.stderr)
         res = sinkhorn.flow(
             rho1_d, rho2_d, args.sinkhorn_epsilon,
             max_iter=args.max_it, tol=args.sinkhorn_tol)
@@ -265,10 +276,21 @@ def main(argv=None) -> int:
         solver_stats = {"iterations": int(res.iterations),
                         "marginal_error": float(res.marginal_error),
                         "epsilon": args.sinkhorn_epsilon}
+        if res.marginal_error > args.sinkhorn_tol:
+            # a max_iter exit returns a biased flow — surface it instead of
+            # leaving it buried in solver_stats (ADVICE.md r2)
+            print(f"WARNING: sinkhorn hit max-it={args.max_it} with "
+                  f"marginal error {float(res.marginal_error):.3g} > "
+                  f"tol {args.sinkhorn_tol:g}; flow may be biased — "
+                  "raise --max-it", file=sys.stderr)
         if not args.quiet or args.log_jsonl:
-            w2 = float(sinkhorn.wasserstein2_entropic(
-                rho1_d, rho2_d, args.sinkhorn_epsilon,
-                max_iter=args.max_it, tol=args.sinkhorn_tol))
+            # debiased W2 from the costs flow() already computed (a->b and
+            # the a->a self-solve); only the b->b self-solve is new
+            # (ADVICE.md r2 — was 5 solves where 3 suffice)
+            bb = sinkhorn.solve(rho2_d, rho2_d, args.sinkhorn_epsilon,
+                                max_iter=args.max_it, tol=args.sinkhorn_tol)
+            div = res.cost_ab - 0.5 * (res.cost_aa + bb.cost)
+            w2 = float(jnp.sqrt(jnp.maximum(div, 0.0)))
             solver_stats["wasserstein2"] = w2
             if not args.quiet:
                 print(f"W2_entropic(rho0, rhoT) = {w2:.6g} px")

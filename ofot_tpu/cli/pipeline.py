@@ -320,16 +320,19 @@ def _validate_algos(algos_csv: str) -> list[str]:
 
 
 def _batched_params(extra: str):
-    """Parse the subset of CLI overrides that apply to batched solves.
+    """Parse the CLI overrides that apply to batched solves.
 
     Keys match with argparse-style unambiguous prefixes so e.g.
     ``--lambda=0.4`` reaches ``lambdaa`` exactly like the per-sequence
-    path's argparse does (SURVEY.md §2 quirk 4)."""
+    path's argparse does (SURVEY.md §2 quirk 4).  An override that the
+    batched path cannot honor raises instead of being silently dropped
+    (VERDICT.md r2 weak #4)."""
     foto_params = dict(Nt=16, r=1.0, convergence_tol=0.01,
                        reg_epsilon=1e-2, max_it=200)
     gn_params = dict(alpha=0.1, lambda_=0.2)
     wfr_params = dict(Nt=16, delta=20.0, r=1.0, convergence_tol=0.01,
                       reg_epsilon=1e-2, max_it=200)
+    sinkhorn_params = dict(epsilon=4.0, max_iter=1000, tol=1e-4)
     key_map = {"Nt": ("foto", "Nt", int), "r": ("foto", "r", float),
                "convergence-tol": ("foto", "convergence_tol", float),
                "reg-epsilon": ("foto", "reg_epsilon", float),
@@ -338,21 +341,46 @@ def _batched_params(extra: str):
                "lambdaa": ("gn", "lambda_", float),
                "admm-alpha": ("foto", "admm_alpha", float),
                "stepA-solver": ("foto", "stepA_solver", str),
-               "wfr-delta": ("wfr", "delta", float)}
-    by_which = {"foto": foto_params, "gn": gn_params, "wfr": wfr_params}
+               "wfr-delta": ("wfr", "delta", float),
+               "sinkhorn-epsilon": ("sinkhorn", "epsilon", float),
+               "sinkhorn-tol": ("sinkhorn", "tol", float)}
+    by_which = {"foto": foto_params, "gn": gn_params, "wfr": wfr_params,
+                "sinkhorn": sinkhorn_params}
+    # flags the per-sequence path honors that are no-ops or output knobs
+    # here — accepted silently so one --extra-args string serves both modes
+    passthrough = ("quiet", "platform", "precision")
     for tok in (extra or "").split():
-        if not tok.startswith("--") or "=" not in tok:
+        if not tok.startswith("--"):
             continue
-        k, v = tok[2:].split("=", 1)
+        k, v = (tok[2:].split("=", 1) + [None])[:2] if "=" in tok \
+            else (tok[2:], None)
+        if v is None:
+            if k == "auto-r":      # store_true flag, scale-invariant ADMM
+                foto_params["auto_r"] = True
+                wfr_params["auto_r"] = True
+                continue
+            if k in passthrough or any(p.startswith(k) for p in passthrough):
+                continue
+            raise SystemExit(f"--extra-args flag '--{k}' is not supported "
+                             "by the batched sweep (drop --batch to run "
+                             "it per-sequence)")
         matches = ([k] if k in key_map else
                    [key for key in key_map if key.startswith(k)])
-        if len(matches) == 1:
-            which, name, cast = key_map[matches[0]]
-            by_which[which][name] = cast(v)
-            # the FOTO solve knobs apply to the unbalanced sweep too
-            if which == "foto" and name in wfr_params:
-                wfr_params[name] = cast(v)
-    return foto_params, gn_params, wfr_params
+        if len(matches) != 1:
+            raise SystemExit(
+                f"--extra-args override '--{k}={v}' is "
+                + ("ambiguous" if matches else "unknown")
+                + " for the batched sweep; batched solves accept "
+                + ", ".join(sorted(key_map)) + " (drop --batch to run "
+                "other flags per-sequence)")
+        which, name, cast = key_map[matches[0]]
+        by_which[which][name] = cast(v)
+        # the FOTO solve knobs apply to the unbalanced sweep too
+        if which == "foto" and name in wfr_params:
+            wfr_params[name] = cast(v)
+        if name == "max_it":       # shared iteration budget
+            sinkhorn_params["max_iter"] = cast(v)
+    return foto_params, gn_params, wfr_params, sinkhorn_params
 
 
 def cmd_run_batch(args) -> int:
@@ -368,6 +396,7 @@ def cmd_run_batch(args) -> int:
     from ofot_tpu.cli import data_diff
     from ofot_tpu.parallel import sweep as sweep_mod
     from ofot_tpu.parallel.mesh import make_mesh
+    from ofot_tpu.parallel.multihost import partition_keys
     from ofot_tpu.utils import image as img, flo as flo_mod, metrics, warp
     from ofot_tpu.utils.colorwheel import flow_to_png
 
@@ -380,11 +409,17 @@ def cmd_run_batch(args) -> int:
 
     data = Path(args.data_root)
     results = Path(args.results)
-    manifest_path = results / "manifest.json"
+    # same per-host shard naming as the per-sequence path (cmd_run), so
+    # two hosts batching the same results dir never clobber one manifest;
+    # merge with `pipeline merge-manifests` (VERDICT.md r2 weak #3)
+    manifest_name = ("manifest.json" if args.host_count == 1
+                     else f"manifest.{args.host_id}.json")
+    manifest_path = results / manifest_name
     manifest = (json.loads(manifest_path.read_text())
                 if manifest_path.exists() else {})
     algos = _validate_algos(args.algos)
-    foto_params, gn_params, wfr_params = _batched_params(args.extra_args)
+    foto_params, gn_params, wfr_params, sinkhorn_params = \
+        _batched_params(args.extra_args)
     mesh = (make_mesh({"data": args.data_parallel})
             if args.data_parallel > 1 else None)
 
@@ -394,7 +429,12 @@ def cmd_run_batch(args) -> int:
         out_root.mkdir(parents=True, exist_ok=True)
         loaded = []
         gts = {}
-        for seq in _sequences(ds):
+        seqs = _sequences(ds)
+        if args.host_count > 1:      # DP over hosts: disjoint sequence sets
+            mine = set(partition_keys([s.name for s in seqs],
+                                      args.host_id, args.host_count))
+            seqs = [s for s in seqs if s.name in mine]
+        for seq in seqs:
             out_dir = out_root / seq.name
             out_dir.mkdir(exist_ok=True)
             f1, w, h = img.open_grayscale(str(seq / "frame10.png"))
@@ -428,7 +468,7 @@ def cmd_run_batch(args) -> int:
                 u, v, m, diag = sweep_mod.solve_batch_full(
                     algo, f1s, f2s, mesh,
                     foto_params=foto_params, gn_params=gn_params,
-                    wfr_params=wfr_params)
+                    wfr_params=wfr_params, sinkhorn_params=sinkhorn_params)
                 jax.block_until_ready(u)
                 wall = _time.time() - t0
                 rec = jax.vmap(warp.apply_flow)(

@@ -75,7 +75,8 @@ def solve_gn_batch(f1s, f2s, mesh: Mesh | None = None,
 def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
                      foto_params: dict | None = None,
                      gn_params: dict | None = None,
-                     wfr_params: dict | None = None):
+                     wfr_params: dict | None = None,
+                     sinkhorn_params: dict | None = None):
     """Batched end-to-end solve -> (u, v, m) stacks plus diagnostics.
 
     One jitted program per shape group: solver + flow extraction vmapped
@@ -93,7 +94,7 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         fp = dict(foto_params or {})
         Nt = fp.pop("Nt", 16)
         solver = foto.resolve_stepA_solver(
-            fp.pop("stepA_solver", "cg"), jax.devices()[0].platform,
+            fp.pop("stepA_solver", "auto"), jax.devices()[0].platform,
             Nt * int(f1s.shape[-2]) * int(f1s.shape[-1]))
         if solver != "cg":
             fp["ops"] = foto.stepA_ops(solver)
@@ -106,6 +107,17 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         run = _batched_wfr_fn(Nt, tuple(sorted(wp.items())))
         return run(f1s, f2s)
 
+    if algo == "sinkhorn":
+        sp = dict(sinkhorn_params or {})
+        run = _batched_sinkhorn_fn(tuple(sorted(sp.items())))
+        return run(f1s, f2s)
+
+    if algo != "GN":
+        # every algo must dispatch explicitly — an unknown name silently
+        # falling through to GN writes wrong flows into <algo>.flo
+        # artifacts (VERDICT.md r2 weak #1)
+        raise ValueError(f"unknown batch algo {algo!r} "
+                         "(expected foto, GN, WFR, or sinkhorn)")
     gp = dict(gn_params or {})
     run = _batched_gn_fn(tuple(sorted(gp.items())))
     return run(f1s, f2s)
@@ -139,6 +151,25 @@ def _batched_wfr_fn(Nt, wp_items):
         st = jax.vmap(lambda p, q: wfr.solve_potential(p, q, Nt, **wp))(a, b)
         u, v, m = jax.vmap(flow_extract.flow_from_potential)(st.phi)
         return u, v, m, {"iterations": st.iteration, "crit": st.crit}
+    return run
+
+
+@lru_cache(maxsize=64)
+def _batched_sinkhorn_fn(sp_items):
+    """Batched static entropic OT: sinkhorn.flow is all dense matmuls, so
+    the vmap is MXU-batched for free; luminosity from the displacement
+    divergence matches the single-pair CLI path (cli/main.py sinkhorn)."""
+    from ofot_tpu.ops import operators
+    from ofot_tpu.solvers import sinkhorn
+    sp = dict(sp_items)
+
+    @jax.jit
+    def run(a, b):
+        res = jax.vmap(lambda p, q: sinkhorn.flow(p, q, **sp))(a, b)
+        m = jax.vmap(
+            lambda u, v: -operators.div2d(u, v, bc="D"))(res.u, res.v)
+        return res.u, res.v, m, {"iterations": res.iterations,
+                                 "marginal_error": res.marginal_error}
     return run
 
 

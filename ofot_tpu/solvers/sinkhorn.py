@@ -190,6 +190,12 @@ class FlowResult(NamedTuple):
     v: jnp.ndarray             # (Ny, Nx) y-displacement
     marginal_error: jnp.ndarray
     iterations: jnp.ndarray
+    # entropic costs <P, C> of the solves flow() runs anyway, exposed so
+    # callers deriving the debiased W2 need only the one missing b->b
+    # self-solve instead of re-solving a->b and a->a (ADVICE.md r2).
+    # cost_aa is NaN when debias=False (no self-solve was run).
+    cost_ab: jnp.ndarray
+    cost_aa: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("max_iter", "check_every", "debias"))
@@ -254,14 +260,17 @@ def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
         y0, x0 = bary(self_res.g)
         err = jnp.maximum(res.marginal_error, self_res.marginal_error)
         its = jnp.maximum(res.iterations, self_res.iterations)
+        cost_aa = self_res.cost
     else:
         y0 = lax.broadcasted_iota(dtype, (Ny, Nx), 0)
         x0 = lax.broadcasted_iota(dtype, (Ny, Nx), 1)
         err, its = res.marginal_error, res.iterations
+        cost_aa = jnp.asarray(jnp.nan, dtype)
     support = an > support_floor * jnp.max(an)
     u = jnp.where(support, tx - x0, 0.0)
     v = jnp.where(support, ty - y0, 0.0)
-    return FlowResult(u=u, v=v, marginal_error=err, iterations=its)
+    return FlowResult(u=u, v=v, marginal_error=err, iterations=its,
+                      cost_ab=res.cost, cost_aa=cost_aa)
 
 
 class DivergenceResult(NamedTuple):

@@ -57,6 +57,72 @@ def test_batch_resumes_from_flags(tmp_path):
     assert flo_path.stat().st_mtime == mtime
 
 
+def test_batch_sinkhorn_matches_single(tmp_path):
+    """--batch --algos sinkhorn must produce sinkhorn flows, not fall
+    through to GN (VERDICT.md r2 weak #1)."""
+    _mk_data(tmp_path / "data", ["a", "b"])
+    common = ["--data-root", str(tmp_path / "data"),
+              "--datasets", "middlebury-1", "--algos", "sinkhorn",
+              "--platform=cpu", "--extra-args=--max-it=400"]
+    assert pipeline.main(["run", "--results", str(tmp_path / "seq")]
+                         + common) == 0
+    assert pipeline.main(["run", "--batch", "--results",
+                          str(tmp_path / "batch")] + common) == 0
+    for name in ("a", "b"):
+        _, _, u1, v1 = flo.read_flo(
+            str(tmp_path / "seq" / "middlebury-1" / name / "sinkhorn.flo"))
+        _, _, u2, v2 = flo.read_flo(
+            str(tmp_path / "batch" / "middlebury-1" / name / "sinkhorn.flo"))
+        aepe = np.sqrt((u1 - u2) ** 2 + (v1 - v2) ** 2).mean()
+        assert aepe < 1e-4, (name, aepe)
+    # the square pair translates by 20//6 = 3 px: a real sinkhorn flow,
+    # not a silent GN fall-through
+    _, _, u2, _ = flo.read_flo(
+        str(tmp_path / "batch" / "middlebury-1" / "a" / "sinkhorn.flo"))
+    moving = np.abs(u2) > 1.0
+    assert moving.any() and abs(u2[moving].mean() - 3.0) < 1.0
+
+
+def test_batch_unknown_algo_raises():
+    """solve_batch_full must reject algos it has no branch for."""
+    import pytest
+    from ofot_tpu.parallel import sweep
+    f = np.ones((1, 8, 8), np.float32)
+    with pytest.raises(ValueError, match="unknown batch algo"):
+        sweep.solve_batch_full("HS", f, f)
+
+
+def test_batch_two_host_partition(tmp_path):
+    """--batch with --host-count partitions sequences disjointly and
+    writes per-host manifest shards that merge cleanly (VERDICT.md r2
+    weak #3: previously both hosts solved everything and clobbered one
+    manifest.json)."""
+    _mk_data(tmp_path / "data", ["a", "b", "c"])
+    base = ["run", "--batch", "--data-root", str(tmp_path / "data"),
+            "--results", str(tmp_path / "results"),
+            "--datasets", "middlebury-1", "--algos", "GN",
+            "--platform=cpu", "--extra-args", FAST,
+            "--host-count", "2"]
+    assert pipeline.main(base + ["--host-id", "0"]) == 0
+    # host 0 must not have produced host 1's sequences
+    done_after_h0 = sorted(
+        p.parent.name for p in
+        (tmp_path / "results" / "middlebury-1").glob("*/gn.flo"))
+    assert 0 < len(done_after_h0) < 3
+    assert pipeline.main(base + ["--host-id", "1"]) == 0
+    assert pipeline.main(["merge-manifests", "--results",
+                          str(tmp_path / "results")]) == 0
+    merged = json.loads(
+        (tmp_path / "results" / "manifest.json").read_text())
+    assert sorted(merged) == ["middlebury-1/a", "middlebury-1/b",
+                              "middlebury-1/c"]
+    shard0 = json.loads(
+        (tmp_path / "results" / "manifest.0.json").read_text())
+    shard1 = json.loads(
+        (tmp_path / "results" / "manifest.1.json").read_text())
+    assert not (set(shard0) & set(shard1))   # disjoint work
+
+
 def test_batch_data_parallel_matches_single_device(tmp_path):
     """--data-parallel D shards the batch axis over the 'data' mesh axis
     (forced 8-device CPU mesh from conftest) — flows must match the

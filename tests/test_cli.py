@@ -74,10 +74,36 @@ def test_sinkhorn_writes_artifacts(frames, tmp_path):
     assert np.isfinite(u).all() and np.isfinite(v).all()
     # the square translates by n//6 = (4, 4) (fixtures.translating_square);
     # the plan's barycentric map must move its mass accordingly
-    assert abs(u[np.abs(u) > 0.5].mean() - 4.0) < 0.5
+    moving = np.abs(u) > 0.5
+    assert moving.any(), "solver regressed to near-zero flow"
+    assert abs(u[moving].mean() - 4.0) < 0.5
     import json
     rec = json.loads((tmp_path / "log.jsonl").read_text().splitlines()[-1])
     assert "marginal_error" in rec and "wasserstein2" in rec
+
+
+def test_sinkhorn_f32_envelope_warning(frames, tmp_path, capsys):
+    """eps below the validated f32 envelope (eps >= 3, solvers/sinkhorn.py
+    docstring) must warn instead of silently returning degraded flow;
+    f64 runs are inside the envelope and must not (VERDICT.md r2 weak #8)."""
+    rc = _run(frames, tmp_path, "--algo=sinkhorn", "--max-it=100",
+              "--sinkhorn-epsilon=1.0")
+    assert rc == 0
+    assert "below the validated f32 envelope" in capsys.readouterr().err
+    rc = _run(frames, tmp_path, "--algo=sinkhorn", "--max-it=100",
+              "--sinkhorn-epsilon=1.0", "--precision=f64")
+    assert rc == 0
+    assert "envelope" not in capsys.readouterr().err
+
+
+def test_sinkhorn_max_iter_warning(frames, tmp_path, capsys):
+    """A max_iter exit (marginal_error > tol) is surfaced on stderr, not
+    buried in solver_stats (ADVICE.md r2)."""
+    rc = _run(frames, tmp_path, "--algo=sinkhorn", "--max-it=2",
+              "--sinkhorn-tol=1e-12")
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "marginal error" in err and "--max-it" in err
 
 
 def test_ground_truth_metrics(frames, tmp_path):

@@ -132,6 +132,27 @@ def test_translation_with_brightening():
     assert abs(created - want) / want < 0.25
 
 
+def test_auto_r_exact_invariance():
+    """auto_r on raw inputs == manual peak normalization, bitwise-ish —
+    the UNBALANCED iteration (including the zeta/delta source channel:
+    sigma scales with mu and phi/delta pairs against it unchanged) is
+    jointly 1-homogeneous in (mu, rho, r), same as the balanced claim
+    pinned in test_foto.TestAutoR (ADVICE.md r2)."""
+    ny = nx = 40
+    a = _blob(ny, nx, 20, 16, 5.0).astype(np.float64)
+    b = 1.3 * _blob(ny, nx, 20, 22, 5.0).astype(np.float64)
+    a, b = a / a.sum(), b / b.sum()          # unit MASS -> peak ~1e-2
+    p = max(a.max(), b.max())
+    kw = dict(delta=15.0, r=0.1, reg_epsilon=1e-3, convergence_tol=1e-4,
+              max_it=120)
+    ra = wfr.solve_potential(jnp.asarray(a), jnp.asarray(b), 6,
+                             auto_r=True, **kw)
+    rb = wfr.solve_potential(jnp.asarray(a / p), jnp.asarray(b / p), 6,
+                             **kw)
+    assert int(ra.iteration) == int(rb.iteration)
+    assert float(jnp.max(jnp.abs(ra.phi - rb.phi))) < 1e-10
+
+
 def test_checkpoint_roundtrip(translated_pair, tmp_path):
     """The 4-component state checkpoints through the existing machinery."""
     from ofot_tpu.utils import checkpoint
