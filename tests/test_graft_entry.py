@@ -33,3 +33,12 @@ def test_mesh_factors():
     assert graft._mesh_factors(4) == (1, 2, 2)
     assert graft._mesh_factors(2) == (1, 2, 1)
     assert graft._mesh_factors(1) == (1, 1, 1)
+
+
+def test_spatial_factors():
+    for n in (1, 2, 4, 8, 16):
+        y, x = graft._spatial_factors(n)
+        assert y * x == n
+    assert graft._spatial_factors(8) == (4, 2)
+    assert graft._spatial_factors(4) == (2, 2)
+    assert graft._spatial_factors(1) == (1, 1)
