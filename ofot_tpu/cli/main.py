@@ -221,17 +221,22 @@ def main(argv=None) -> int:
         print(f"\t - max_it={args.max_it}")
         from ofot_tpu.solvers import wfr
         init = load_state(args.resume) if args.resume else None
+        solver = wfr.resolve_stepA_solver(
+            args.stepA_solver, jax.devices()[0].platform,
+            args.Nt * rho1_d.shape[0] * rho1_d.shape[1])
         result = wfr.solve(
             rho1_d, rho2_d, args.Nt, delta=args.wfr_delta, r=args.r,
             convergence_tol=args.convergence_tol,
             reg_epsilon=args.reg_epsilon, max_it=args.max_it,
-            verbose=not args.quiet, init=init, auto_r=args.auto_r)
+            verbose=not args.quiet, init=init, auto_r=args.auto_r,
+            ops=foto.stepA_ops(solver), admm_alpha=args.admm_alpha)
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
                    np.asarray(result.m))
         jax.block_until_ready(result.state.phi)
         solver_stats = {"iterations": int(result.state.iteration),
                         "crit": float(result.state.crit),
-                        "delta": args.wfr_delta}
+                        "delta": args.wfr_delta,
+                        "stepA_solver": solver}
         if not args.quiet or args.log_jsonl:
             dist, created = jax.jit(lambda s: (
                 wfr.wfr_distance(s),

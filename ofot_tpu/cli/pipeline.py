@@ -331,7 +331,8 @@ def _batched_params(extra: str):
                        reg_epsilon=1e-2, max_it=200)
     gn_params = dict(alpha=0.1, lambda_=0.2)
     wfr_params = dict(Nt=16, delta=20.0, r=1.0, convergence_tol=0.01,
-                      reg_epsilon=1e-2, max_it=200)
+                      reg_epsilon=1e-2, max_it=200, admm_alpha=1.0,
+                      stepA_solver="auto")
     sinkhorn_params = dict(epsilon=4.0, max_iter=1000, tol=1e-4)
     key_map = {"Nt": ("foto", "Nt", int), "r": ("foto", "r", float),
                "convergence-tol": ("foto", "convergence_tol", float),

@@ -56,18 +56,13 @@ def fits_in_vmem(shape, dtype=jnp.float32, n_buffers=2) -> bool:
 
 # ---------------------------------------------------------------- projection
 
-def _project_point(alpha, beta1, beta2):
-    """Branch-free paraboloid projection of (alpha, beta1, beta2) — the
-    stepB math shared by the standalone and fused kernels."""
+def _project_core(alpha, rho2):
+    """Cylindrical projection core shared by every stepB kernel: returns
+    ``(inside, alpha_h, rho_h)`` for ``rho2 = |beta|^2`` (any number of
+    beta components — the projection only acts on (alpha, |beta|))."""
     eps = jnp.asarray(1e-20, alpha.dtype)
-
-    inside = 2.0 * alpha + beta1 * beta1 + beta2 * beta2 <= 0.0
-
-    rho2 = beta1 * beta1 + beta2 * beta2
     rho = jnp.sqrt(rho2)
-    safe_rho = jnp.maximum(rho, eps)
-    cos_t = jnp.where(rho > 0, beta1 / safe_rho, 1.0)
-    sin_t = jnp.where(rho > 0, beta2 / safe_rho, 0.0)
+    inside = 2.0 * alpha + rho2 <= 0.0
 
     ap1 = alpha + 1.0
     radicand = (4.0 / 3.0) * ap1 * ap1 * ap1 + 4.5 * rho2
@@ -94,17 +89,55 @@ def _project_point(alpha, beta1, beta2):
     zh = jnp.where(single, zh_card, zh_trig)
     alpha_h = jnp.where(single, -zh * zh, -0.5 * zh * zh)
     rho_h = jnp.where(single, _SQRT2 * zh, zh)
+    return inside, alpha_h, rho_h
+
+
+def _project_point(alpha, beta1, beta2):
+    """Branch-free paraboloid projection of (alpha, beta1, beta2) — the
+    stepB math shared by the standalone and fused kernels."""
+    eps = jnp.asarray(1e-20, alpha.dtype)
+
+    rho2 = beta1 * beta1 + beta2 * beta2
+    rho = jnp.sqrt(rho2)
+    safe_rho = jnp.maximum(rho, eps)
+    cos_t = jnp.where(rho > 0, beta1 / safe_rho, 1.0)
+    sin_t = jnp.where(rho > 0, beta2 / safe_rho, 0.0)
+
+    inside, alpha_h, rho_h = _project_core(alpha, rho2)
 
     return (jnp.where(inside, alpha, alpha_h),
             jnp.where(inside, beta1, rho_h * cos_t),
             jnp.where(inside, beta2, rho_h * sin_t))
 
 
+def _project_point_nd(alpha, betas):
+    """Projection with ``k = len(betas)`` beta components (k = 3 is the
+    WFR/unbalanced stepB; ofot_tpu/ops/projection.py
+    project_paraboloid_nd is the XLA twin): the beta direction is
+    preserved, so all betas rescale by ``rho_h / rho`` (exactly 0/eps = 0
+    at the rho = 0 apex case, where rho_h = 0)."""
+    eps = jnp.asarray(1e-20, alpha.dtype)
+    rho2 = betas[0] * betas[0]
+    for b in betas[1:]:
+        rho2 = rho2 + b * b
+    inside, alpha_h, rho_h = _project_core(alpha, rho2)
+    scale = jnp.where(inside, 1.0,
+                      rho_h / jnp.maximum(jnp.sqrt(rho2), eps))
+    return (jnp.where(inside, alpha, alpha_h),
+            [b * scale for b in betas])
+
+
 def _projection_kernel(p_ref, out_ref):
-    a, b1, b2 = _project_point(p_ref[0], p_ref[1], p_ref[2])
-    out_ref[0] = a
-    out_ref[1] = b1
-    out_ref[2] = b2
+    k = p_ref.shape[0] - 1
+    if k == 2:
+        a, b1, b2 = _project_point(p_ref[0], p_ref[1], p_ref[2])
+        out_ref[0], out_ref[1], out_ref[2] = a, b1, b2
+    else:
+        a, bs = _project_point_nd(p_ref[0],
+                                  [p_ref[i] for i in range(1, k + 1)])
+        out_ref[0] = a
+        for i, b in enumerate(bs):
+            out_ref[i + 1] = b
 
 
 # per-grid-step chunk of points: up to (3, 8, 8192) f32 = 768 KB per block
@@ -130,7 +163,9 @@ def _pick_cols(L: int) -> int | None:
 
 
 def _chunk3(arrs, L: int):
-    """Reshape each (3, L)-flattenable array into lane-aligned chunks.
+    """Reshape each (k, L)-flattenable array into lane-aligned chunks
+    (k = component count from the array's leading axis; 3 for balanced
+    stepB fields, 4 for WFR's source-extended ones).
 
     Returns ``(chunked_arrays, cols, n_chunks, pad)`` — exact tiling via
     :func:`_pick_cols` when possible, zero-padding to the default chunk
@@ -142,27 +177,30 @@ def _chunk3(arrs, L: int):
     n_chunks = (L + pad) // (_PROJ_ROWS * cols)
     out = []
     for a in arrs:
-        a = a.reshape(3, L)
+        k = a.shape[0]
+        a = a.reshape(k, L)
         if pad:
             a = jnp.pad(a, ((0, 0), (0, pad)))
-        out.append(a.reshape(3, n_chunks * _PROJ_ROWS, cols))
+        out.append(a.reshape(k, n_chunks * _PROJ_ROWS, cols))
     return out, cols, n_chunks, pad
 
 
 def _unchunk3(a, shape, L: int, pad: int):
-    return a.reshape(3, L + pad)[:, :L].reshape(shape)
+    return a.reshape(a.shape[0], L + pad)[:, :L].reshape(shape)
 
 
 @jax.jit
 def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
-    """Pallas twin of ``ofot_tpu.ops.projection.project_paraboloid``.
+    """Pallas twin of ``ofot_tpu.ops.projection.project_paraboloid`` /
+    ``project_paraboloid_nd`` (component count from ``p.shape[0]``).
 
-    ``p``: (3, ...) -> same shape.  Points are flattened, zero-padded to a
-    chunk multiple (zero points are inside K -> identity, so padding is
-    harmless), and streamed through VMEM in (3, 8, 8192) blocks over a 1-D
-    grid — production shapes never exceed the VMEM budget.
+    ``p``: (1+k, ...) -> same shape.  Points are flattened, zero-padded to
+    a chunk multiple (zero points are inside K -> identity, so padding is
+    harmless), and streamed through VMEM in (1+k, 8, 8192) blocks over a
+    1-D grid — production shapes never exceed the VMEM budget.
     """
     shape = p.shape
+    ncomp = shape[0]
     L = 1
     for d in shape[1:]:
         L *= d
@@ -171,10 +209,10 @@ def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
         _projection_kernel,
         grid=(n_chunks,),
         out_shape=jax.ShapeDtypeStruct(p3.shape, p.dtype),
-        in_specs=[pl.BlockSpec((3, _PROJ_ROWS, cols),
+        in_specs=[pl.BlockSpec((ncomp, _PROJ_ROWS, cols),
                                lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, _PROJ_ROWS, cols),
+        out_specs=pl.BlockSpec((ncomp, _PROJ_ROWS, cols),
                                lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
     )(p3)
@@ -189,26 +227,35 @@ def _fused_pointwise_kernel(r_ref, gphi_ref, mu_ref, q_ref, mu_out_ref,
     stepC dual update mu += r*(grad_phi - q) with density clamp, and the
     Hamilton–Jacobi criterion partial sums (reference
     benamou_brenier.py:214, 229-232, 246-251) — reads grad_phi/mu once and
-    writes q/mu once instead of XLA's two separate fusion passes."""
-    r = r_ref[0, 0]
-    g0, g1, g2 = gphi_ref[0], gphi_ref[1], gphi_ref[2]
-    m0, m1, m2 = mu_ref[0], mu_ref[1], mu_ref[2]
+    writes q/mu once instead of XLA's two separate fusion passes.
 
-    q0, q1, q2 = _project_point(g0 + m0 / r, g1 + m1 / r, g2 + m2 / r)
+    Component count comes from the block shape: 1+2 betas is the balanced
+    solver, 1+3 the WFR/unbalanced one (the extra beta is the scaled
+    source dual; the criterion's speed^2 spans all betas in both cases,
+    matching wfr.alg2_iteration)."""
+    r = r_ref[0, 0]
+    k = gphi_ref.shape[0] - 1
+    g0 = gphi_ref[0]
+    gb = [gphi_ref[i] for i in range(1, k + 1)]
+    m0 = mu_ref[0]
+    mb = [mu_ref[i] for i in range(1, k + 1)]
+
+    q0, qb = _project_point_nd(g0 + m0 / r,
+                               [g + m / r for g, m in zip(gb, mb)])
     q_ref[0] = q0
-    q_ref[1] = q1
-    q_ref[2] = q2
+    for i, q in enumerate(qb):
+        q_ref[i + 1] = q
 
     n0 = jnp.maximum(m0 + r * (g0 - q0), 0.0)   # density clamped >= 0
-    n1 = m1 + r * (g1 - q1)
-    n2 = m2 + r * (g2 - q2)
     mu_out_ref[0] = n0
-    mu_out_ref[1] = n1
-    mu_out_ref[2] = n2
+    for i, (m, g, q) in enumerate(zip(mb, gb, qb)):
+        mu_out_ref[i + 1] = m + r * (g - q)
 
     # criterion partials over this chunk, reduced to one (rows, 128) tile;
     # the TPU grid is a sequential loop, so accumulate across chunks
-    speed2 = g1 * g1 + g2 * g2
+    speed2 = gb[0] * gb[0]
+    for g in gb[1:]:
+        speed2 = speed2 + g * g
     res = g0 + 0.5 * speed2
     rows, cols = n0.shape
     num = jnp.sum((n0 * jnp.abs(res)).reshape(rows, cols // 128, 128), axis=1)
@@ -227,20 +274,21 @@ def _fused_pointwise_kernel(r_ref, gphi_ref, mu_ref, q_ref, mu_out_ref,
 def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
     """Fused stepB + stepC + HJ-criterion partials.
 
-    ``grad_phi``, ``mu``: (3, Nt, Ny, Nx).  Returns
-    ``(q, mu_new, num, denom)`` with scalar criterion sums such that
-    ``crit = sqrt(num / (denom + 1e-10))``.  Zero padding is exact: padded
-    points project to themselves (0 is inside K), update to 0, and
-    contribute 0 to both sums.
+    ``grad_phi``, ``mu``: (1+k, Nt, Ny, Nx) with k = 2 (balanced) or 3
+    (WFR source-extended).  Returns ``(q, mu_new, num, denom)`` with
+    scalar criterion sums such that ``crit = sqrt(num / (denom + 1e-10))``.
+    Zero padding is exact: padded points project to themselves (0 is
+    inside K), update to 0, and contribute 0 to both sums.
     """
     shape = grad_phi.shape
+    ncomp = shape[0]
     L = 1
     for d in shape[1:]:
         L *= d
     (g3, m3), cols, n_chunks, pad = _chunk3([grad_phi, mu], L)
     r_arr = jnp.asarray(r, grad_phi.dtype).reshape(1, 1)
 
-    block = pl.BlockSpec((3, _PROJ_ROWS, cols), lambda i: (0, i, 0),
+    block = pl.BlockSpec((ncomp, _PROJ_ROWS, cols), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((_PROJ_ROWS, 128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)

@@ -175,6 +175,11 @@ class ShardedOps:
         from ofot_tpu.ops.projection import project_paraboloid
         return project_paraboloid(p)     # pointwise, tile-local
 
+    @staticmethod
+    def project_nd(p):
+        from ofot_tpu.ops.projection import project_paraboloid_nd
+        return project_paraboloid_nd(p)  # pointwise, tile-local (WFR)
+
     def cg_operator(self, r, reg_epsilon):
         return lambda phi: (-r * self.laplacian_st(phi, bc="N")
                             + (r * reg_epsilon) * phi)

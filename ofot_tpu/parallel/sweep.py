@@ -102,8 +102,13 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         return run(f1s, f2s)
 
     if algo == "WFR":
+        from ofot_tpu.solvers import wfr
         wp = dict(wfr_params or {})
         Nt = wp.pop("Nt", 16)
+        solver = wfr.resolve_stepA_solver(
+            wp.pop("stepA_solver", "auto"), jax.devices()[0].platform,
+            Nt * int(f1s.shape[-2]) * int(f1s.shape[-1]))
+        wp["ops"] = foto.stepA_ops(solver)
         run = _batched_wfr_fn(Nt, tuple(sorted(wp.items())))
         return run(f1s, f2s)
 

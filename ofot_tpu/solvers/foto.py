@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ofot_tpu.ops import operators
-from ofot_tpu.ops.projection import project_paraboloid
+from ofot_tpu.ops.projection import project_paraboloid, project_paraboloid_nd
 
 
 class _DefaultOps:
@@ -46,6 +46,8 @@ class _DefaultOps:
     laplacian_st = staticmethod(operators.laplacian_st)
     sum = staticmethod(jnp.sum)
     project = staticmethod(project_paraboloid)
+    # k-beta-component projection for the source-extended (WFR) stepB
+    project_nd = staticmethod(project_paraboloid_nd)
 
     def cg_operator(self, r, reg_epsilon):
         """The stepA system operator A = -r*L_st + r*eps*I as a callable."""
@@ -133,6 +135,10 @@ class PallasOps(DCTOps):
     def project(p):
         from ofot_tpu.ops.pallas import kernels
         return kernels.project_paraboloid_pallas(p)
+
+    # the Pallas projection/fused kernels read the component count from
+    # the array, so the same entry serves balanced (3) and WFR (4) states
+    project_nd = project
 
     @staticmethod
     def fused_pointwise(grad_phi, mu, r):

@@ -21,15 +21,27 @@ Vialard, "An interpolating distance between optimal transport and
 Fisher–Rao"), which is why this module reuses the FOTO machinery:
 
   * the extended "gradient" is G phi = (grad_st phi, -phi/delta) and
-    G^T G = -L_st + I/delta^2, so **stepA stays the same spectral solve**
-    with reg_epsilon shifted by 1/delta^2 (``dct.solve_stepA_dct``);
+    G^T G = -L_st + I/delta^2, so **stepA is the balanced stepA operator**
+    with reg_epsilon shifted by 1/delta^2 — any of the balanced stepA
+    backends solves it (CG, exact spectral DCT, bf16+refinement, fused
+    Pallas) via the same ops-injection interface as ``foto``
+    (``foto._DefaultOps``): hand this solver a ``foto.DCT_OPS`` /
+    ``PALLAS_OPS`` / ``parallel.halo.ShardedOps`` and the identical
+    unbalanced loop runs spectrally / with one fused VMEM pointwise pass /
+    tiled under shard_map with ppermute halos;
   * stepB projects (a, b1, b2, c) onto the SAME paraboloid with a
-    3-component beta (``projection.project_paraboloid_nd``);
+    3-component beta (``ops.project_nd``;
+    ``projection.project_paraboloid_nd`` is the XLA form, the Pallas
+    fused kernel reads the component count from the array);
   * stepC and the Hamilton–Jacobi criterion extend with the c-component.
 
 State layout: ``FotoState`` with mu, q of shape (4, Nt, Ny, Nx) —
 components (rho, m1, m2, sigma) where sigma = delta * zeta is the scaled
 source; checkpoint/resume via utils.checkpoint works unchanged.
+
+Default ops: spectral (``foto.DCT_OPS``) — WFR has no reference twin to
+stay CG-faithful to, and the spectral solve is exact, so it is the
+production default on every platform.
 """
 
 from __future__ import annotations
@@ -41,8 +53,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ofot_tpu.ops import operators
-from ofot_tpu.ops.projection import project_paraboloid_nd
 from ofot_tpu.solvers import foto
 from ofot_tpu.solvers.flow_extract import flow_from_potential
 
@@ -58,6 +68,20 @@ class WfrResult(NamedTuple):
     state: foto.FotoState
 
 
+def resolve_stepA_solver(solver: str, platform: str, npts: int) -> str:
+    """WFR counterpart of :func:`foto.resolve_stepA_solver`.
+
+    ``auto`` has no CG-faithfulness constraint here (WFR is net-new, no
+    reference twin): exact spectral everywhere, upgraded to the fused
+    Pallas pointwise pass on TPU for large grids (same ~4M-point
+    crossover as the balanced solver, BENCHMARKS.md)."""
+    if solver == "auto":
+        if platform in ("cpu", "gpu"):
+            return "dct"
+        return "pallas" if npts >= (1 << 22) else "dct"
+    return solver
+
+
 def init_state(rho0, rhoT, Nt: int) -> foto.FotoState:
     """Balanced init extended with a zero source channel."""
     st = foto.init_state(rho0, rhoT, Nt)
@@ -66,7 +90,7 @@ def init_state(rho0, rhoT, Nt: int) -> foto.FotoState:
                        q=jnp.concatenate([st.q, zero]))
 
 
-def G_st(phi, delta):
+def G_st(phi, delta, ops=foto.DCT_OPS):
     """(grad_st phi, +phi/delta): the unbalanced space-time 'gradient'.
 
     The sign of the source component is fixed by stationarity of
@@ -75,21 +99,21 @@ def G_st(phi, delta):
     symmetric in c, so a flipped sign converges identically but returns a
     negated source field."""
     return jnp.concatenate(
-        [operators.grad_st(phi, bc="N"), (phi / delta)[None]])
+        [ops.grad_st(phi, bc="N"), (phi / delta)[None]])
 
 
-def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, delta):
+def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, delta, cg_rtol, cg_maxiter,
+           ops):
     """Solve (r G^T G + r eps I) phi = -G^T(mu - r q) + time-BC terms.
 
     -G^T x = div_st(x[:3]) - x[3]/delta (same quirky div_st stencil as the
     balanced solver), and G^T G = -L_st + I/delta^2, so the system is the
-    balanced stepA operator with reg_epsilon + 1/delta^2 — still diagonal
-    in the DCT basis."""
-    from ofot_tpu.solvers.dct import solve_stepA_dct
-
+    balanced stepA operator with reg_epsilon + 1/delta^2 — every balanced
+    backend applies unchanged: the shift keeps the operator diagonal in
+    the DCT basis and SPD for CG."""
     dt = 1.0
     x = mu - r * q
-    F = operators.div_st(x[:3], bc="N") - x[3] / delta
+    F = ops.div_st(x[:3], bc="N") - x[3] / delta
     rho, a = mu[0], q[0]
     g0 = rho0 - rho[0] + r * a[0]
     gN = rhoT - rho[-1] + r * a[-1]
@@ -99,30 +123,46 @@ def _stepA(mu, q, rho0, rhoT, r, reg_epsilon, delta):
     F = F + jnp.where(t_idx == Nt - 1, (1.0 / dt) * gN[None], 0.0)
 
     eps_eff = reg_epsilon + 1.0 / (delta * delta)
-    return solve_stepA_dct(F, r=r, reg_epsilon=eps_eff)
+    return ops.stepA_solve(F, r, eps_eff, cg_rtol, cg_maxiter)
 
 
 def alg2_iteration(state: foto.FotoState, rho0, rhoT, *, r, delta,
-                   reg_epsilon, convergence_tol, verbose=False,
-                   max_it=100) -> foto.FotoState:
+                   reg_epsilon, convergence_tol, cg_rtol=1e-6,
+                   cg_maxiter=1000, verbose=False, max_it=100,
+                   ops=foto.DCT_OPS, admm_alpha=1.0) -> foto.FotoState:
     """One unbalanced ALG2 iteration (stepA + 4-component stepB/stepC +
-    extended Hamilton–Jacobi criterion)."""
+    extended Hamilton–Jacobi criterion).
+
+    ``admm_alpha``: standard ADMM over-relaxation, same semantics as the
+    balanced :func:`foto.alg2_iteration` — stepB/stepC act on
+    ``alpha*G(phi) + (1-alpha)*q_prev``; alpha=1.0 is the plain iteration.
+    """
     mu, q_prev = state.mu, state.q
 
-    phi = _stepA(mu, q_prev, rho0, rhoT, r, reg_epsilon, delta)
-    gphi = G_st(phi, delta)
+    phi, cg_iters = _stepA(mu, q_prev, rho0, rhoT, r, reg_epsilon, delta,
+                           cg_rtol, cg_maxiter, ops)
+    gphi = G_st(phi, delta, ops)
+    relaxed = (gphi if admm_alpha == 1.0 else
+               admm_alpha * gphi + (1.0 - admm_alpha) * q_prev)
 
-    q = project_paraboloid_nd(gphi + mu / r)
-    mu = mu + r * (gphi - q)
-    comp = lax.broadcasted_iota(jnp.int32, mu.shape, 0)
-    mu = jnp.where(comp == 0, jnp.maximum(mu, 0.0), mu)
+    fused = getattr(ops, "fused_pointwise", None)
+    if fused is not None and admm_alpha == 1.0:
+        # stepB + stepC + criterion partials in one VMEM pass; the kernel
+        # reads the component count (4) from the arrays and its speed^2
+        # already spans all beta components including the source dual
+        q, mu, num, denom = fused(gphi, mu, r)
+    else:
+        q = ops.project_nd(relaxed + mu / r)
+        mu = mu + r * (relaxed - q)
+        comp = lax.broadcasted_iota(jnp.int32, mu.shape, 0)
+        mu = jnp.where(comp == 0, jnp.maximum(mu, 0.0), mu)
 
-    # HJ criterion with the source term: dt phi + (|grad phi|^2
-    # + phi^2/delta^2) / 2 = 0 on the support of rho
-    speed2 = gphi[1] ** 2 + gphi[2] ** 2 + gphi[3] ** 2
-    res = gphi[0] + 0.5 * speed2
-    num = jnp.sum(mu[0] * jnp.abs(res))
-    denom = jnp.sum(mu[0] * speed2)
+        # HJ criterion with the source term: dt phi + (|grad phi|^2
+        # + phi^2/delta^2) / 2 = 0 on the support of rho
+        speed2 = gphi[1] ** 2 + gphi[2] ** 2 + gphi[3] ** 2
+        res = gphi[0] + 0.5 * speed2
+        num = ops.sum(mu[0] * jnp.abs(res))
+        denom = ops.sum(mu[0] * speed2)
     crit = jnp.sqrt(num / (denom + 1e-10))
 
     prev_crit = state.crit
@@ -137,23 +177,17 @@ def alg2_iteration(state: foto.FotoState, rho0, rhoT, *, r, delta,
     return foto.FotoState(mu=mu, q=q, phi=phi, crit=crit,
                           prev_crit=prev_crit,
                           iteration=state.iteration + 1,
-                          cg_iterations=state.cg_iterations + 1,
+                          cg_iterations=state.cg_iterations + cg_iters,
                           done=done)
 
 
-@partial(jax.jit, static_argnames=("Nt", "max_it", "verbose", "auto_r"))
-def solve_potential(rho0, rhoT, Nt, *, delta=10.0, r=1.0,
-                    convergence_tol=0.3, reg_epsilon=1e-3, max_it=100,
-                    verbose=False, auto_r=False,
-                    init: foto.FotoState | None = None) -> foto.FotoState:
-    """Run the unbalanced ALG2 loop to convergence (jitted while_loop).
-
-    ``auto_r`` rescales the ADMM penalty to the data scale (the WFR
-    action and every ALG2 update are jointly 1-homogeneous in
-    (rho, m, zeta, r) exactly as in the balanced case — see
-    :func:`foto.scale_invariant_r`)."""
-    rho0 = jnp.asarray(rho0)
-    rhoT = jnp.asarray(rhoT)
+def alg2_loop(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
+              reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6, cg_maxiter=1000,
+              verbose=False, ops=foto.DCT_OPS, admm_alpha=1.0,
+              auto_r=False,
+              init: foto.FotoState | None = None) -> foto.FotoState:
+    """Unjitted unbalanced ALG2 while_loop — callable directly inside
+    shard_map (see ofot_tpu/parallel/wfr_sharded.py)."""
     if auto_r:
         r = foto.scale_invariant_r(rho0, rhoT, r)
     state = init_state(rho0, rhoT, Nt) if init is None else init
@@ -165,26 +199,59 @@ def solve_potential(rho0, rhoT, Nt, *, delta=10.0, r=1.0,
         return alg2_iteration(s, rho0, rhoT, r=r, delta=delta,
                               reg_epsilon=reg_epsilon,
                               convergence_tol=convergence_tol,
-                              verbose=verbose, max_it=max_it)
+                              cg_rtol=cg_rtol, cg_maxiter=cg_maxiter,
+                              verbose=verbose, max_it=max_it, ops=ops,
+                              admm_alpha=admm_alpha)
 
     return lax.while_loop(cond, body, state)
 
 
+@partial(jax.jit, static_argnames=("Nt", "max_it", "cg_maxiter", "verbose",
+                                   "ops", "admm_alpha", "auto_r"))
+def solve_potential(rho0, rhoT, Nt, *, delta=10.0, r=1.0,
+                    convergence_tol=0.3, reg_epsilon=1e-3, max_it=100,
+                    cg_rtol=1e-6, cg_maxiter=1000, verbose=False,
+                    ops=foto.DCT_OPS, admm_alpha=1.0, auto_r=False,
+                    init: foto.FotoState | None = None) -> foto.FotoState:
+    """Run the unbalanced ALG2 loop to convergence (jitted while_loop).
+
+    ``auto_r`` rescales the ADMM penalty to the data scale (the WFR
+    action and every ALG2 update are jointly 1-homogeneous in
+    (rho, m, zeta, r) exactly as in the balanced case — see
+    :func:`foto.scale_invariant_r`)."""
+    rho0 = jnp.asarray(rho0)
+    rhoT = jnp.asarray(rhoT)
+    return alg2_loop(rho0, rhoT, Nt, delta=delta, r=r,
+                     convergence_tol=convergence_tol,
+                     reg_epsilon=reg_epsilon, max_it=max_it,
+                     cg_rtol=cg_rtol, cg_maxiter=cg_maxiter,
+                     verbose=verbose, ops=ops, admm_alpha=admm_alpha,
+                     auto_r=auto_r, init=init)
+
+
 def solve(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
-          reg_epsilon=1e-3, max_it=100, verbose=False, auto_r=False,
+          reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6, cg_maxiter=1000,
+          verbose=False, ops=foto.DCT_OPS, admm_alpha=1.0, auto_r=False,
           init: foto.FotoState | None = None) -> WfrResult:
     """Full unbalanced solve: potential -> (u, v, m) displacement flow
     plus the source/growth fields balanced OT cannot represent."""
     state = solve_potential(rho0, rhoT, Nt, delta=delta, r=r,
                             convergence_tol=convergence_tol,
                             reg_epsilon=reg_epsilon, max_it=max_it,
-                            verbose=verbose, auto_r=auto_r, init=init)
+                            cg_rtol=cg_rtol, cg_maxiter=cg_maxiter,
+                            verbose=verbose, ops=ops,
+                            admm_alpha=admm_alpha, auto_r=auto_r,
+                            init=init)
     u, v, m = flow_from_potential(state.phi)
     zeta = state.mu[3] / delta
     # relative growth rate g = zeta / rho; brightness multiplier over the
-    # horizon is exp(integral g dt) (trapezoid; rho floored for vacuum)
-    rho = jnp.maximum(state.mu[0], 1e-12)
-    rate = zeta / rho
+    # horizon is exp(integral g dt) (trapezoid).  The rate is only
+    # meaningful where the trajectory carries mass: a RELATIVE floor
+    # zeroes vacuum cells, where zeta/rho is numerical noise amplified
+    # through exp (an absolute 1e-12 floor let |rate| reach ~1e9 there)
+    rho = state.mu[0]
+    floor = 1e-6 * jnp.max(rho)
+    rate = jnp.where(rho > floor, zeta / jnp.maximum(rho, floor), 0.0)
     w = jnp.ones((state.mu.shape[1],), rho.dtype).at[0].set(0.5).at[-1].set(0.5)
     growth = jnp.exp(jnp.tensordot(w, rate, axes=1)) - 1.0
     return WfrResult(u=u, v=v, m=m, growth=growth, source=zeta,

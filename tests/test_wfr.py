@@ -132,6 +132,68 @@ def test_translation_with_brightening():
     assert abs(created - want) / want < 0.25
 
 
+class TestOpsInjection:
+    """WFR runs every balanced stepA backend via the same ops interface
+    (VERDICT.md r2 weak #5)."""
+
+    def _pair(self):
+        ny, nx = 16, 24
+        a = _blob(ny, nx, 8, 9, 4.0)
+        b = 1.3 * _blob(ny, nx, 8, 13, 4.0)
+        return jnp.asarray(a / a.max()), jnp.asarray(b / a.max())
+
+    def test_cg_matches_dct(self):
+        """The CG backend solves the SAME shifted operator the spectral
+        one diagonalizes (eps + 1/delta^2); with a tight cg_rtol the
+        trajectories coincide."""
+        r0, rT = self._pair()
+        kw = dict(delta=10.0, r=0.5, convergence_tol=1e-6,
+                  reg_epsilon=1e-2, max_it=8)
+        dct = wfr.solve_potential(r0, rT, 4, ops=foto.DCT_OPS, **kw)
+        cg = wfr.solve_potential(r0, rT, 4, ops=foto.DEFAULT_OPS,
+                                 cg_rtol=1e-13, **kw)
+        # f32 fields, 8 chained solves: agreement to ~1e-4 of the ~6.5
+        # potential scale is the fp roundoff envelope
+        np.testing.assert_allclose(np.asarray(cg.phi),
+                                   np.asarray(dct.phi), atol=1e-4)
+        assert int(cg.cg_iterations) > int(dct.cg_iterations)
+
+    def test_pallas_fused_matches_unfused(self):
+        """PALLAS_OPS routes the 4-component stepB+stepC+criterion through
+        the fused kernel (interpret mode on CPU) — must equal the plain
+        XLA iteration."""
+        r0, rT = self._pair()
+        kw = dict(delta=10.0, r=0.5, convergence_tol=1e-6,
+                  reg_epsilon=1e-2, max_it=6)
+        plain = wfr.solve_potential(r0, rT, 4, ops=foto.DCT_OPS, **kw)
+        fused = wfr.solve_potential(r0, rT, 4, ops=foto.PALLAS_OPS, **kw)
+        np.testing.assert_allclose(np.asarray(fused.phi),
+                                   np.asarray(plain.phi), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fused.mu),
+                                   np.asarray(plain.mu), atol=1e-5)
+        np.testing.assert_allclose(float(fused.crit), float(plain.crit),
+                                   rtol=1e-4)
+
+    def test_admm_alpha_same_fixed_point(self):
+        """Over-relaxation targets the same saddle (the augmented
+        Lagrangian is unchanged): the converged flow statistics agree at
+        the ~5% level even though the over-relaxed iterates oscillate
+        more on this fixture (pixelwise iterate differences stay within
+        the two runs' own convergence gap)."""
+        r0, rT = self._pair()
+        kw = dict(delta=10.0, r=0.2, convergence_tol=0.0,
+                  reg_epsilon=1e-3, max_it=250)
+        base = wfr.solve(r0, rT, 6, admm_alpha=1.0, **kw)
+        over = wfr.solve(r0, rT, 6, admm_alpha=1.5, **kw)
+        sup = np.asarray(r0) > 0.2
+        assert sup.any()
+        u_b = np.asarray(base.u)[sup].mean()
+        u_o = np.asarray(over.u)[sup].mean()
+        assert abs(u_b - u_o) < 0.2          # same ~4 px transport
+        g = np.abs(np.asarray(over.growth) - np.asarray(base.growth))[sup]
+        assert g.max() < 0.1                 # same brightening field
+
+
 def test_auto_r_exact_invariance():
     """auto_r on raw inputs == manual peak normalization, bitwise-ish —
     the UNBALANCED iteration (including the zeta/delta source channel:
