@@ -9,8 +9,15 @@
 // same diagnostics, normalizes by the maximum motion radius over known
 // pixels (or by the explicit [maxmotion] argument), maps each vector
 // through the 55-entry color wheel (RY=15, YG=6, GC=4, CB=11, BM=13, MR=6),
-// and writes an RGB PNG via libpng.  Unknown flow (|u| or |v| > 1e9)
-// renders black.
+// and writes the RGB image in the format chosen by the output extension —
+// the same codec set the reference ELF embeds (its imageLib carries
+// PNG/PGM/TGA writers; strings in reference bin/color_flow):
+//   .png        — via libpng
+//   .pgm / .ppm — binary PNM; RGB data writes P6 regardless of which of
+//                 the two extensions is used (imageLib WriteFilePNM picks
+//                 P5/P6 by band count, not extension)
+//   .tga        — uncompressed 24-bit type-2 TARGA, BGR, bottom-up origin
+// Unknown flow (|u| or |v| > 1e9) renders black.
 //
 // Build: make -C ofot_tpu/native      (requires libpng; zlib fallback none)
 
@@ -145,6 +152,63 @@ void write_png(const char* path, int w, int h,
     std::fclose(f);
 }
 
+void write_pnm(const char* path, int w, int h,
+               const std::vector<std::uint8_t>& rgb) {
+    // binary PNM: RGB data is always P6 (band count decides, as in the
+    // Middlebury imageLib's WriteFilePNM — a .pgm name does not force P5)
+    std::FILE* f = std::fopen(path, "wb");
+    if (!f) fail("WriteFilePNM: could not open %s", path);
+    std::fprintf(f, "P6\n%d %d\n255\n", w, h);
+    if (std::fwrite(rgb.data(), 1, rgb.size(), f) != rgb.size())
+        fail("WriteFilePNM: error writing %s", path);
+    std::fclose(f);
+}
+
+void write_tga(const char* path, int w, int h,
+               const std::vector<std::uint8_t>& rgb) {
+    // uncompressed 24-bit type-2 TARGA; pixel order BGR, bottom-up rows
+    // (origin bit 5 = 0), the layout classic TGA readers default to
+    std::FILE* f = std::fopen(path, "wb");
+    if (!f) fail("WriteFileTGA: could not open %s", path);
+    std::uint8_t header[18] = {};
+    header[2] = 2;                                    // uncompressed RGB
+    header[12] = static_cast<std::uint8_t>(w & 0xFF);
+    header[13] = static_cast<std::uint8_t>((w >> 8) & 0xFF);
+    header[14] = static_cast<std::uint8_t>(h & 0xFF);
+    header[15] = static_cast<std::uint8_t>((h >> 8) & 0xFF);
+    header[16] = 24;                                  // bits per pixel
+    if (std::fwrite(header, 1, sizeof header, f) != sizeof header)
+        fail("WriteFileTGA: error writing %s", path);
+    std::vector<std::uint8_t> row(static_cast<size_t>(w) * 3);
+    for (int y = h - 1; y >= 0; --y) {                // bottom-up
+        const std::uint8_t* src = &rgb[static_cast<size_t>(y) * w * 3];
+        for (int x = 0; x < w; ++x) {
+            row[3 * x] = src[3 * x + 2];              // B
+            row[3 * x + 1] = src[3 * x + 1];          // G
+            row[3 * x + 2] = src[3 * x];              // R
+        }
+        if (std::fwrite(row.data(), 1, row.size(), f) != row.size())
+            fail("WriteFileTGA: error writing %s", path);
+    }
+    std::fclose(f);
+}
+
+void write_image(const char* path, int w, int h,
+                 const std::vector<std::uint8_t>& rgb) {
+    const char* dot = std::strrchr(path, '.');
+    const char* ext = dot ? dot + 1 : "";
+    if (std::strcmp(ext, "pgm") == 0 || std::strcmp(ext, "ppm") == 0 ||
+        std::strcmp(ext, "pnm") == 0)
+        write_pnm(path, w, h, rgb);
+    else if (std::strcmp(ext, "tga") == 0)
+        write_tga(path, w, h, rgb);
+    else if (std::strcmp(ext, "png") == 0)
+        write_png(path, w, h, rgb);
+    else
+        fail("WriteImage: unknown image extension in %s "
+             "(supported: png, pgm/ppm/pnm, tga)", path);
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -190,6 +254,6 @@ int main(int argc, char** argv) {
             continue;   // unknown flow stays black
         wheel.map(u / maxrad, v / maxrad, &rgb[i * 3]);
     }
-    write_png(out_path, w, h, rgb);
+    write_image(out_path, w, h, rgb);
     return 0;
 }
