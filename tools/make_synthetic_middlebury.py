@@ -1,0 +1,156 @@
+"""Generate layout-identical Middlebury stand-in zips with exact GT.
+
+The real Middlebury archives (reference run.sh:7-11, README.md:41-48)
+cannot be fetched in this zero-egress environment (documented in
+RESULTS.md).  This tool builds zips in the EXACT layout the pipeline's
+``download`` step consumes — ``eval-gray-twoframes.zip`` with
+``eval-data-gray/<seq>/frame{10,11}.png`` and the middlebury-2 pair
+``other-gray-twoframes.zip`` / ``other-gt-flow.zip`` with
+``other-data-gray/<seq>/`` + ``other-gt-flow/<seq>/flow10.flo`` — so the
+full dataset lifecycle (unpack, 50% resize, lum augmentation, mass
+normalization, sweep, GT evaluation) runs unchanged.
+
+Scenes are analytic textures (sums of sinusoids and Gaussians) sampled
+exactly at both time instants under invertible affine motions, so the
+ground-truth flow is exact to machine precision (the only noise is the
+8-bit PNG quantization real data has too): frame10(p) = f(p),
+frame11(p) = f(A^-1 (p - b)), flow10(p) = (A p + b) - p.
+
+Usage: python tools/make_synthetic_middlebury.py <out_dir> [--size WxH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import zipfile
+from pathlib import Path
+
+import numpy as np
+
+
+def texture(seed: int):
+    """Analytic grayscale scene f(x, y) -> [0, 1]: band-limited sinusoid
+    mixture plus a few Gaussian blobs (so both GN's gradient terms and
+    OT's mass transport have structure at several scales)."""
+    rng = np.random.default_rng(seed)
+    waves = [(rng.uniform(0.02, 0.2), rng.uniform(0.02, 0.2),
+              rng.uniform(0, 2 * np.pi)) for _ in range(6)]
+    blobs = [(rng.uniform(0.2, 0.8), rng.uniform(0.2, 0.8),
+              rng.uniform(0.05, 0.15), rng.uniform(0.5, 1.0))
+             for _ in range(4)]
+
+    def f(x, y, w, h):
+        out = np.zeros_like(x)
+        for kx, ky, ph in waves:
+            out += np.sin(kx * x + ky * y + ph)
+        out /= 2 * len(waves)
+        for cx, cy, s, amp in blobs:
+            out += amp * np.exp(-(((x / w - cx) / s) ** 2
+                                  + ((y / h - cy) / s) ** 2))
+        lo, hi = out.min(), out.max()
+        return (out - lo) / (hi - lo)
+
+    return f
+
+
+# (name, affine A, translation b) — motions a few pixels at frame scale,
+# mirroring Middlebury's small-displacement two-frame regime.  A maps
+# frame10 coords to frame11 coords: p' = A p + b (about the image center).
+def motions(w, h):
+    c = np.array([w / 2.0, h / 2.0])
+
+    def about_center(A, t):
+        # p' = A (p - c) + c + t
+        return A, c - A @ c + t
+
+    R = lambda deg: np.array(
+        [[np.cos(np.deg2rad(deg)), -np.sin(np.deg2rad(deg))],
+         [np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))]])
+    return [
+        ("Translate", *about_center(np.eye(2), np.array([6.0, 4.0]))),
+        ("Rotate", *about_center(R(1.2), np.array([0.0, 0.0]))),
+        ("Zoom", *about_center(1.02 * np.eye(2), np.array([0.0, 0.0]))),
+        ("Shear", *about_center(np.array([[1.0, 0.015], [0.0, 1.0]]),
+                                np.array([2.0, -3.0]))),
+        ("RotZoom", *about_center(1.012 * R(-0.8), np.array([-4.0, 2.0]))),
+        ("Diverge", *about_center(np.array([[1.018, 0.0], [0.0, 0.985]]),
+                                  np.array([3.0, 3.0]))),
+    ]
+
+
+def render_pair(f, A, b, w, h):
+    """Exact analytic sampling of both frames + the exact GT flow."""
+    x, y = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    f10 = f(x, y, w, h)
+    Ainv = np.linalg.inv(A)
+    # frame11(p) = f(A^-1 (p - b)): the feature at q in frame10 appears
+    # at A q + b in frame11
+    xs = Ainv[0, 0] * (x - b[0]) + Ainv[0, 1] * (y - b[1])
+    ys = Ainv[1, 0] * (x - b[0]) + Ainv[1, 1] * (y - b[1])
+    f11 = f(xs, ys, w, h)
+    u = (A[0, 0] - 1.0) * x + A[0, 1] * y + b[0]
+    v = A[1, 0] * x + (A[1, 1] - 1.0) * y + b[1]
+    return f10, f11, u.astype(np.float32), v.astype(np.float32)
+
+
+def png_bytes(img01):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8),
+                    "L").save(buf, "PNG")
+    return buf.getvalue()
+
+
+def flo_bytes(u, v):
+    h, w = u.shape
+    buf = io.BytesIO()
+    buf.write(np.float32(202021.25).tobytes())
+    buf.write(np.int32(w).tobytes())
+    buf.write(np.int32(h).tobytes())
+    uv = np.stack([u, v], axis=-1).astype(np.float32)
+    buf.write(uv.tobytes())
+    return buf.getvalue()
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    p.add_argument("--size", default="640x480",
+                   help="native WxH of the eval frames (resized 50% by the "
+                        "pipeline, like the real archive)")
+    p.add_argument("--mb2-size", default="320x240",
+                   help="native WxH of the GT (middlebury-2) frames — not "
+                        "resized, GT stays valid")
+    args = p.parse_args()
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    w, h = (int(t) for t in args.size.split("x"))
+    w2, h2 = (int(t) for t in args.mb2_size.split("x"))
+
+    evz = out / "eval-gray-twoframes.zip"
+    with zipfile.ZipFile(evz, "w") as z:
+        for i, (name, A, b) in enumerate(motions(w, h)):
+            f10, f11, _, _ = render_pair(texture(100 + i), A, b, w, h)
+            z.writestr(f"eval-data-gray/{name}/frame10.png", png_bytes(f10))
+            z.writestr(f"eval-data-gray/{name}/frame11.png", png_bytes(f11))
+
+    dz = out / "other-gray-twoframes.zip"
+    gz = out / "other-gt-flow.zip"
+    with zipfile.ZipFile(dz, "w") as zd, zipfile.ZipFile(gz, "w") as zg:
+        for i, (name, A, b) in enumerate(motions(w2, h2)[:4]):
+            f10, f11, u, v = render_pair(texture(200 + i), A, b, w2, h2)
+            zd.writestr(f"other-data-gray/{name}/frame10.png",
+                        png_bytes(f10))
+            zd.writestr(f"other-data-gray/{name}/frame11.png",
+                        png_bytes(f11))
+            zg.writestr(f"other-gt-flow/{name}/flow10.flo", flo_bytes(u, v))
+
+    print(f"wrote {evz}, {dz}, {gz}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
