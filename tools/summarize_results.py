@@ -1,0 +1,77 @@
+"""Summarize a pipeline results tree into a markdown table.
+
+Reads the ``<results>/<dataset>/<sequence>/<algo>.benchmark.txt`` files
+(the reference's exact byte format, reference main.py:125-134) plus
+``manifest.json`` and prints per-sequence EE/AE/IE rows per algorithm —
+the table RESULTS.md embeds.
+
+Usage: python tools/summarize_results.py <results_dir> [--datasets a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def parse_benchmark(path: Path) -> dict:
+    out = {}
+    for line in path.read_text().splitlines():
+        k, _, v = line.partition(": ")
+        out[k] = v.rstrip("s") if k == "time" else v
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("results")
+    p.add_argument("--datasets", default=None,
+                   help="comma list; default: every dataset dir present")
+    args = p.parse_args()
+    root = Path(args.results)
+    datasets = (args.datasets.split(",") if args.datasets else
+                sorted(d.name for d in root.iterdir() if d.is_dir()))
+
+    manifest = {}
+    mpath = root / "manifest.json"
+    if mpath.exists():
+        manifest = json.loads(mpath.read_text())
+
+    for ds in datasets:
+        seqs = sorted(d for d in (root / ds).iterdir() if d.is_dir())
+        algos = sorted({f.name.split(".")[0] for s in seqs
+                        for f in s.glob("*.benchmark.txt")})
+        has_gt = any("EE-mean" in parse_benchmark(f)
+                     for s in seqs for f in s.glob("*.benchmark.txt"))
+        print(f"\n### {ds}\n")
+        hdr = "| sequence | algo | " + ("EE | AE | " if has_gt else "") \
+            + "IE | time (s) |"
+        print(hdr)
+        print("|" + "---|" * (hdr.count("|") - 1))
+        for s in seqs:
+            for algo in algos:
+                f = s / f"{algo}.benchmark.txt"
+                if not f.exists():
+                    continue
+                b = parse_benchmark(f)
+                row = [s.name, algo]
+                if has_gt:
+                    row += [f"{float(b['EE-mean']):.3f}"
+                            if "EE-mean" in b else "—",
+                            f"{float(b['AE-mean']):.3f}"
+                            if "AE-mean" in b else "—"]
+                row += [f"{float(b['IE']):.3f}", f"{float(b['time']):.2f}"]
+                print("| " + " | ".join(row) + " |")
+    if manifest:
+        walls = [v.get("wall_s", 0) for e in manifest.values()
+                 for v in e.values() if isinstance(v, dict)]
+        print(f"\n{len(manifest)} sequences, "
+              f"{sum(1 for _ in walls)} solves, "
+              f"total solver wall {sum(walls):.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
