@@ -384,6 +384,16 @@ def _batched_params(extra: str):
     return foto_params, gn_params, wfr_params, sinkhorn_params
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _batched_warp():
+    import jax
+    from ofot_tpu.utils import warp
+    return jax.jit(jax.vmap(warp.apply_flow))
+
+
 def cmd_run_batch(args) -> int:
     """Batched sweep: all same-shape sequences of a dataset solved in one
     jitted call (vmap, batch axis shardable over devices) — the
@@ -472,8 +482,11 @@ def cmd_run_batch(args) -> int:
                     wfr_params=wfr_params, sinkhorn_params=sinkhorn_params)
                 jax.block_until_ready(u)
                 wall = _time.time() - t0
-                rec = jax.vmap(warp.apply_flow)(
-                    jnp.asarray(f1s), u, v, m)
+                # jit the vmapped warp: plain vmap executes eagerly, and
+                # eager dispatch through the remote TPU tunnel is
+                # minutes-slow (CLAUDE.md); jax.jit caches on the callable,
+                # so keep one instance
+                rec = _batched_warp()(jnp.asarray(f1s), u, v, m)
                 rec = np.clip(np.asarray(rec), 0, 1)
                 u, v, m = np.asarray(u), np.asarray(v), np.asarray(m)
 
