@@ -47,8 +47,11 @@ WFR_ARGS = ["--algo=WFR", "--r=1", "--convergence-tol=0.01",
 FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
              "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200"]
 # framework extension: static entropic OT — one Sinkhorn solve per pair
-# instead of 200 ALG2 iterations (flow = debiased barycentric projection)
-SINKHORN_ARGS = ["--algo=sinkhorn", "--sinkhorn-epsilon=4.0",
+# instead of 200 ALG2 iterations (flow = debiased barycentric projection).
+# eps=100 px^2 is the frame-scale f32 envelope (solvers/sinkhorn.py module
+# docstring: the per-row potential range at 240x320 needs eps >= ~50;
+# the CLI's 4.0 default targets compact blob-scale densities)
+SINKHORN_ARGS = ["--algo=sinkhorn", "--sinkhorn-epsilon=100.0",
                  "--max-it=1000"]
 
 _NATIVE_COLOR_FLOW = Path(__file__).resolve().parent.parent / "native" / "color_flow"
@@ -333,7 +336,7 @@ def _batched_params(extra: str):
     wfr_params = dict(Nt=16, delta=20.0, r=1.0, convergence_tol=0.01,
                       reg_epsilon=1e-2, max_it=200, admm_alpha=1.0,
                       stepA_solver="auto")
-    sinkhorn_params = dict(epsilon=4.0, max_iter=1000, tol=1e-4)
+    sinkhorn_params = dict(epsilon=100.0, max_iter=1000, tol=1e-4)
     key_map = {"Nt": ("foto", "Nt", int), "r": ("foto", "r", float),
                "convergence-tol": ("foto", "convergence_tol", float),
                "reg-epsilon": ("foto", "reg_epsilon", float),
