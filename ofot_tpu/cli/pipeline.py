@@ -525,6 +525,12 @@ def cmd_run_batch(args) -> int:
                     entry[algo] = {"algo": algo, "status": "ok",
                                    "wall_s": wall / n, "batched": True,
                                    "batch_size": int(n)}
+                    # per-sequence solver diagnostics (convergence is
+                    # otherwise invisible in batch mode)
+                    for dk, dv in diag.items():
+                        dv = np.asarray(dv)
+                        entry[algo][dk] = (
+                            float(dv[i]) if dv.ndim else float(dv))
                 manifest_path.write_text(json.dumps(manifest, indent=1))
     return 0
 

@@ -43,6 +43,11 @@ def test_batch_matches_sequential(tmp_path):
 
     man = json.loads((tmp_path / "batch" / "manifest.json").read_text())
     assert all(v[a]["status"] == "ok" for v in man.values() for a in v)
+    # per-sequence solver diagnostics recorded (batch mode would
+    # otherwise hide convergence entirely)
+    first = next(iter(man.values()))
+    assert "crit" in first["foto"] and "iterations" in first["foto"]
+    assert "inner_iterations" in first["GN"]
 
 
 def test_batch_resumes_from_flags(tmp_path):
