@@ -77,7 +77,8 @@ def main() -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    from ofot_tpu.utils.compile_cache import enable as enable_cache
+    from ofot_tpu.utils.compile_cache import (default_cache_dir,
+                                              enable as enable_cache)
     enable_cache()
     import jax.numpy as jnp
     from jax import lax
@@ -87,14 +88,14 @@ def main() -> int:
     print(f"device: {dev}", file=sys.stderr)
     # compile-cache diagnostics (VERDICT.md r2 weak #6: the 975 s r2
     # compile): report whether the persistent cache can help this run.
-    # HOME does not survive across driver rounds, so first compiles are
-    # always cold across rounds; within a run, repeat jits hit.  Entry
-    # counts before/after each timed phase below distinguish "cache hit"
-    # (fast compile, no new entry) from "cold compile" and from pure
-    # remote-compiler latency (new entry, wall >> typical).
+    # The cache now defaults to a repo-local dir (compile_cache.py) so it
+    # survives across driver rounds — a session that ran the bench leaves
+    # a warm cache for the next round's run.  Entry counts before/after
+    # each timed phase below distinguish "cache hit" (fast compile, no new
+    # entry) from "cold compile" and from pure remote-compiler latency
+    # (new entry, wall >> typical).
     import os as _os
-    cache_dir = _os.path.expanduser(_os.environ.get(
-        "OFOT_COMPILE_CACHE", "~/.cache/ofot_jax_cache"))
+    cache_dir = default_cache_dir()
     def cache_entries():
         try:
             return len(_os.listdir(cache_dir))
