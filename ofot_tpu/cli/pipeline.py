@@ -368,6 +368,11 @@ def _batched_params(extra: str):
             raise SystemExit(f"--extra-args flag '--{k}' is not supported "
                              "by the batched sweep (drop --batch to run "
                              "it per-sequence)")
+        if k in passthrough or any(p.startswith(k) for p in passthrough):
+            # valued forms (--platform=cpu, --precision=f64) pass through
+            # like their bare forms: batch mode takes these from the
+            # pipeline's own flags, not per-solve CLI args
+            continue
         matches = ([k] if k in key_map else
                    [key for key in key_map if key.startswith(k)])
         if len(matches) != 1:

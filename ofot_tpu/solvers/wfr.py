@@ -20,7 +20,9 @@ The ALG2 structure survives almost unchanged (Chizat, Peyré, Schmitzer,
 Vialard, "An interpolating distance between optimal transport and
 Fisher–Rao"), which is why this module reuses the FOTO machinery:
 
-  * the extended "gradient" is G phi = (grad_st phi, -phi/delta) and
+  * the extended "gradient" is G phi = (grad_st phi, +phi/delta) — see
+    ``G_st`` for why the + sign is the one consistent with
+    dt rho + div m = +zeta — and
     G^T G = -L_st + I/delta^2, so **stepA is the balanced stepA operator**
     with reg_epsilon shifted by 1/delta^2 — any of the balanced stepA
     backends solves it (CG, exact spectral DCT, bf16+refinement, fused

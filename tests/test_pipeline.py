@@ -120,6 +120,11 @@ def test_batched_params_prefix_matching():
     assert fp["auto_r"] is True and wp["auto_r"] is True
     assert sp["epsilon"] == 2.5
     assert sp["max_iter"] == 50           # shared iteration budget
+    # valued passthrough forms must behave like their bare forms: one
+    # --extra-args string serves both modes (review finding, round 3)
+    fp2, _, _, _ = pipeline._batched_params("--precision=f64 --max-it=400")
+    assert fp2["max_it"] == 400
+    pipeline._batched_params("--platform=cpu")
     with pytest.raises(SystemExit):       # "--a" ambiguous (alpha/admm-alpha)
         pipeline._batched_params("--a=9")
     with pytest.raises(SystemExit):       # unknown override

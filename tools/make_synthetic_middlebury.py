@@ -23,33 +23,55 @@ from __future__ import annotations
 
 import argparse
 import io
+import os
+import sys
+import tempfile
 import zipfile
 from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def texture(seed: int):
     """Analytic grayscale scene f(x, y) -> [0, 1]: band-limited sinusoid
     mixture plus a few Gaussian blobs (so both GN's gradient terms and
-    OT's mass transport have structure at several scales)."""
+    OT's mass transport have structure at several scales).
+
+    The [0, 1] normalization constants are fixed per (w, h) from the
+    REGULAR pixel grid, not recomputed per call: frame11 samples the
+    warped grid, and per-call min/max would give the two frames different
+    gain/offset gauges (measured up to 5.5e-4), breaking the exact-warp
+    invariant the GT claims.  With shared constants the pair is an exact
+    affine warp up to the final [0, 1] clip."""
     rng = np.random.default_rng(seed)
     waves = [(rng.uniform(0.02, 0.2), rng.uniform(0.02, 0.2),
               rng.uniform(0, 2 * np.pi)) for _ in range(6)]
     blobs = [(rng.uniform(0.2, 0.8), rng.uniform(0.2, 0.8),
               rng.uniform(0.05, 0.15), rng.uniform(0.5, 1.0))
              for _ in range(4)]
+    norms = {}                 # (w, h) -> (lo, hi) from the regular grid
 
-    def f(x, y, w, h):
+    def raw(x, y, w, h):
         out = np.zeros_like(x)
         for kx, ky, ph in waves:
             out += np.sin(kx * x + ky * y + ph)
         out /= 2 * len(waves)
         for cx, cy, s, amp in blobs:
             out += amp * np.exp(-(((x / w - cx) / s) ** 2
-                                  + ((y / h - cy) / s) ** 2))
-        lo, hi = out.min(), out.max()
-        return (out - lo) / (hi - lo)
+                                  + (((y / h - cy) / s) ** 2)))
+        return out
+
+    def f(x, y, w, h):
+        if (w, h) not in norms:
+            xg, yg = np.meshgrid(np.arange(w, dtype=np.float64),
+                                 np.arange(h, dtype=np.float64))
+            g = raw(xg, yg, w, h)
+            norms[(w, h)] = (g.min(), g.max())
+        lo, hi = norms[(w, h)]
+        return np.clip((raw(x, y, w, h) - lo) / (hi - lo), 0.0, 1.0)
 
     return f
 
@@ -104,14 +126,15 @@ def png_bytes(img01):
 
 
 def flo_bytes(u, v):
+    """Serialize via the framework's canonical .flo writer (single source
+    of truth for the format — ofot_tpu/utils/flo.py)."""
+    from ofot_tpu.utils import flo as flo_mod
+
     h, w = u.shape
-    buf = io.BytesIO()
-    buf.write(np.float32(202021.25).tobytes())
-    buf.write(np.int32(w).tobytes())
-    buf.write(np.int32(h).tobytes())
-    uv = np.stack([u, v], axis=-1).astype(np.float32)
-    buf.write(uv.tobytes())
-    return buf.getvalue()
+    with tempfile.NamedTemporaryFile(suffix=".flo") as tmp:
+        flo_mod.write_flo(w, h, u.ravel(), v.ravel(), tmp.name)
+        tmp.seek(0)
+        return tmp.read()
 
 
 def main() -> int:
