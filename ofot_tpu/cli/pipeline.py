@@ -228,11 +228,13 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
     flag = out_dir / f".out.{algo.lower()}.sucess"     # [sic]
     if flag.exists():
         return {"algo": algo, "status": "cached"}
+    stats_path = out_dir / f"{algo.lower()}.stats.jsonl"
     argv = [str(frame10), str(frame11),
             f"--out={out_dir}/{algo.lower()}.flo",
             f"--save-benchmark={out_dir}/{algo.lower()}.benchmark.txt",
             f"--save-reconstruction={out_dir}/{algo.lower()}.rec.png",
             f"--save-lum={out_dir}/{algo.lower()}.lum.png",
+            f"--log-jsonl={stats_path}",
             "--quiet"]
     if ground_truth is not None:
         argv.append(f"--ground-truth={ground_truth}")
@@ -249,7 +251,19 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
     color_flow(out_dir / f"{algo.lower()}.flo",
                out_dir / f"{algo.lower()}.png", maxmotion)
     flag.touch()
-    return {"algo": algo, "status": "ok", "wall_s": wall}
+    res = {"algo": algo, "status": "ok", "wall_s": wall}
+    # fold the solver's own diagnostics (iterations, crit, W2, ...) into
+    # the manifest entry, matching the batched path's per-sequence diag
+    try:
+        recs = [json.loads(line) for line in
+                stats_path.read_text().splitlines()]
+        solve = [r for r in recs if r.get("event") == "solve"][-1]
+        res.update({k: v for k, v in solve.items()
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    and k not in ("ts", "wall_s", "w", "h")})
+    except (OSError, IndexError, ValueError):
+        pass
+    return res
 
 
 def cmd_run(args) -> int:

@@ -47,9 +47,10 @@ def main() -> int:
                      for s in seqs for f in s.glob("*.benchmark.txt"))
         print(f"\n### {ds}\n")
         hdr = "| sequence | algo | " + ("EE | AE | " if has_gt else "") \
-            + "IE | time (s) |"
+            + "IE | time (s) | iters | crit |"
         print(hdr)
         print("|" + "---|" * (hdr.count("|") - 1))
+        agg = {}                      # algo -> list of (EE, AE, IE) rows
         for s in seqs:
             for algo in algos:
                 f = s / f"{algo}.benchmark.txt"
@@ -63,7 +64,25 @@ def main() -> int:
                             f"{float(b['AE-mean']):.3f}"
                             if "AE-mean" in b else "—"]
                 row += [f"{float(b['IE']):.3f}", f"{float(b['time']):.2f}"]
+                # per-sequence solver diagnostics from the manifest (batch
+                # mode records them; per-sequence records wall_s only)
+                diag = (manifest.get(f"{ds}/{s.name}", {})
+                        .get({"gn": "GN", "wfr": "WFR"}.get(algo, algo), {}))
+                iters = diag.get("iterations",          # ALG2 / sinkhorn
+                                 diag.get("inner_iterations"))  # GN PCG
+                row += [str(int(iters)) if iters is not None else "—",
+                        f"{diag['crit']:.4f}" if "crit" in diag else "—"]
+                agg.setdefault(algo, []).append(
+                    tuple(float(b[k]) if k in b else None
+                          for k in ("EE-mean", "AE-mean", "IE")))
                 print("| " + " | ".join(row) + " |")
+        for algo, rows in sorted(agg.items()):
+            means = []
+            for j, label in enumerate(("EE", "AE", "IE")):
+                vals = [r[j] for r in rows if r[j] is not None]
+                if vals:
+                    means.append(f"{label} {sum(vals) / len(vals):.3f}")
+            print(f"| **mean** | {algo} | " + " / ".join(means) + " |")
     if manifest:
         walls = [v.get("wall_s", 0) for e in manifest.values()
                  for v in e.values() if isinstance(v, dict)]
