@@ -79,10 +79,17 @@ def texture(seed: int):
 # (name, affine A, translation b) — motions a few pixels at frame scale,
 # mirroring Middlebury's small-displacement two-frame regime.  A maps
 # frame10 coords to frame11 coords: p' = A p + b (about the image center).
-def motions(w, h):
+# ``scale`` shrinks every displacement (A -> I + scale*(A - I), b ->
+# scale*b): the eval frames are halved by the pipeline's 50% resize so
+# their effective motions are ~half these values, while the GT
+# (middlebury-2) frames stay native — scale=0.5 puts both datasets in the
+# same displacement regime.
+def motions(w, h, scale: float = 1.0):
     c = np.array([w / 2.0, h / 2.0])
 
     def about_center(A, t):
+        A = np.eye(2) + scale * (A - np.eye(2))
+        t = scale * np.asarray(t)
         # p' = A (p - c) + c + t
         return A, c - A @ c + t
 
@@ -162,7 +169,7 @@ def main() -> int:
     dz = out / "other-gray-twoframes.zip"
     gz = out / "other-gt-flow.zip"
     with zipfile.ZipFile(dz, "w") as zd, zipfile.ZipFile(gz, "w") as zg:
-        for i, (name, A, b) in enumerate(motions(w2, h2)[:4]):
+        for i, (name, A, b) in enumerate(motions(w2, h2, scale=0.5)[:4]):
             f10, f11, u, v = render_pair(texture(200 + i), A, b, w2, h2)
             zd.writestr(f"other-data-gray/{name}/frame10.png",
                         png_bytes(f10))
