@@ -47,6 +47,10 @@ def test_sweep_artifacts_and_resume(tmp_path):
         assert (seq / f).exists(), f
     manifest = json.loads((tmp_path / "results" / "manifest.json").read_text())
     assert manifest["middlebury-1/seq0"]["GN"]["status"] == "ok"
+    # per-sequence solver diagnostics folded in from --log-jsonl (round 3)
+    assert manifest["middlebury-1/seq0"]["GN"]["inner_iterations"] > 0
+    assert manifest["middlebury-1/seq0"]["foto"]["iterations"] > 0
+    assert "crit" in manifest["middlebury-1/seq0"]["foto"]
 
     # second run resumes from flags and must NOT clobber the original
     # entry's status/wall_s with a bare "cached" record
