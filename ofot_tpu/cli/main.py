@@ -154,6 +154,11 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
 
     start_time = time.time()
+    # set immediately after each branch's core solve completes, BEFORE any
+    # optional diagnostics (W2 / wfr_distance / the b->b sinkhorn
+    # self-solve): those are gated on --log-jsonl and must not inflate the
+    # benchmark "time:" line the sweep manifest records (review, round 3)
+    solve_end = None
     if args.algo == "foto":
         print(" - algorithm: FOTO")
         print(f"\t - Nt={args.Nt}")
@@ -175,6 +180,7 @@ def main(argv=None) -> int:
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
                    np.asarray(result.m))
         jax.block_until_ready(result.state.phi)
+        solve_end = time.time()
         solver_stats = {"iterations": int(result.state.iteration),
                         "inner_iterations": int(result.state.cg_iterations),
                         "crit": float(result.state.crit),
@@ -205,6 +211,7 @@ def main(argv=None) -> int:
         res = gn.solve_fields(rho1_d, rho2_d, args.alpha, args.lambdaa)
         jax.block_until_ready(res.u)
         u, v, m = np.asarray(res.u), np.asarray(res.v), np.asarray(res.m)
+        solve_end = time.time()
         solver_stats = {"inner_iterations": int(res.cg.iterations),
                         "residual": float(res.cg.residual),
                         "converged": bool(res.cg.converged)}
@@ -233,6 +240,7 @@ def main(argv=None) -> int:
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
                    np.asarray(result.m))
         jax.block_until_ready(result.state.phi)
+        solve_end = time.time()
         solver_stats = {"iterations": int(result.state.iteration),
                         "crit": float(result.state.crit),
                         "delta": args.wfr_delta,
@@ -278,6 +286,7 @@ def main(argv=None) -> int:
         # as the dynamic extraction (reference benamou_brenier.py:270)
         m_d = -operators.div2d(res.u, res.v, bc="D")
         u, v, m = np.asarray(res.u), np.asarray(res.v), np.asarray(m_d)
+        solve_end = time.time()
         solver_stats = {"iterations": int(res.iterations),
                         "marginal_error": float(res.marginal_error),
                         "epsilon": args.sinkhorn_epsilon}
@@ -315,7 +324,8 @@ def main(argv=None) -> int:
         print(f"ERROR: unknown --algo '{args.algo}' "
               f"(expected foto, GN, HS, WFR, or sinkhorn)", file=sys.stderr)
         return 2
-    timer = time.time() - start_time
+    timer = (solve_end if solve_end is not None else time.time()) \
+        - start_time
 
     if args.profile:
         jax.profiler.stop_trace()

@@ -368,9 +368,22 @@ def _batched_params(extra: str):
                "sinkhorn-tol": ("sinkhorn", "tol", float)}
     by_which = {"foto": foto_params, "gn": gn_params, "wfr": wfr_params,
                 "sinkhorn": sinkhorn_params}
-    # flags the per-sequence path honors that are no-ops or output knobs
-    # here — accepted silently so one --extra-args string serves both modes
+    # flags the per-sequence path honors that are handled by the batch
+    # runner itself (cmd_run_batch applies platform/precision globally) or
+    # are no-ops here — matched with the same unambiguous-prefix rule as
+    # the solve knobs so one --extra-args string serves both modes
     passthrough = ("quiet", "platform", "precision")
+    passthrough_vals: dict[str, str] = {}
+
+    def passthrough_match(k):
+        if not k:
+            return None
+        hits = [p for p in passthrough if p == k or p.startswith(k)]
+        if len(hits) > 1:
+            raise SystemExit(f"--extra-args flag '--{k}' is ambiguous "
+                             f"({'/'.join(hits)}) for the batched sweep")
+        return hits[0] if hits else None
+
     for tok in (extra or "").split():
         if not tok.startswith("--"):
             continue
@@ -381,15 +394,19 @@ def _batched_params(extra: str):
                 foto_params["auto_r"] = True
                 wfr_params["auto_r"] = True
                 continue
-            if k in passthrough or any(p.startswith(k) for p in passthrough):
+            if passthrough_match(k):
                 continue
             raise SystemExit(f"--extra-args flag '--{k}' is not supported "
                              "by the batched sweep (drop --batch to run "
                              "it per-sequence)")
-        if k in passthrough or any(p.startswith(k) for p in passthrough):
-            # valued forms (--platform=cpu, --precision=f64) pass through
-            # like their bare forms: batch mode takes these from the
-            # pipeline's own flags, not per-solve CLI args
+        p = passthrough_match(k)
+        if p is not None:
+            # valued forms (--platform=cpu, --precision=f64): surfaced to
+            # cmd_run_batch, which applies them process-wide exactly like
+            # its own --platform/--precision flags (review, round 3 —
+            # previously dropped silently, so --batch ran f32 where the
+            # per-sequence path honored f64)
+            passthrough_vals[p] = v
             continue
         matches = ([k] if k in key_map else
                    [key for key in key_map if key.startswith(k)])
@@ -407,7 +424,8 @@ def _batched_params(extra: str):
             wfr_params[name] = cast(v)
         if name == "max_it":       # shared iteration budget
             sinkhorn_params["max_iter"] = cast(v)
-    return foto_params, gn_params, wfr_params, sinkhorn_params
+    return (foto_params, gn_params, wfr_params, sinkhorn_params,
+            passthrough_vals)
 
 
 from functools import lru_cache
@@ -437,10 +455,16 @@ def cmd_run_batch(args) -> int:
     from ofot_tpu.utils import image as img, flo as flo_mod, metrics, warp
     from ofot_tpu.utils.colorwheel import flow_to_png
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    foto_params, gn_params, wfr_params, sinkhorn_params, passthrough = \
+        _batched_params(args.extra_args)
+    # --platform/--precision given via --extra-args behave like the
+    # pipeline's own flags (the explicit flag wins on conflict)
+    platform = args.platform or passthrough.get("platform")
+    precision = args.precision or passthrough.get("precision")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     dtype = np.float32
-    if args.precision == "f64":
+    if precision == "f64":
         jax.config.update("jax_enable_x64", True)
         dtype = np.float64
 
@@ -455,8 +479,6 @@ def cmd_run_batch(args) -> int:
     manifest = (json.loads(manifest_path.read_text())
                 if manifest_path.exists() else {})
     algos = _validate_algos(args.algos)
-    foto_params, gn_params, wfr_params, sinkhorn_params = \
-        _batched_params(args.extra_args)
     mesh = (make_mesh({"data": args.data_parallel})
             if args.data_parallel > 1 else None)
 

@@ -114,7 +114,7 @@ def test_batched_params_prefix_matching():
     """--lambda must reach lambdaa like argparse prefix matching does on
     the per-sequence path (SURVEY.md quirk 4); ambiguous/unknown overrides
     fail loudly instead of being silently dropped (VERDICT.md r2)."""
-    fp, gp, wp, sp = pipeline._batched_params(
+    fp, gp, wp, sp, _ = pipeline._batched_params(
         "--lambda=0.4 --conv=0.2 --wfr-delta=15 --auto-r "
         "--sinkhorn-eps=2.5 --max-it=50")
     assert gp["lambda_"] == 0.4
@@ -124,11 +124,16 @@ def test_batched_params_prefix_matching():
     assert fp["auto_r"] is True and wp["auto_r"] is True
     assert sp["epsilon"] == 2.5
     assert sp["max_iter"] == 50           # shared iteration budget
-    # valued passthrough forms must behave like their bare forms: one
-    # --extra-args string serves both modes (review finding, round 3)
-    fp2, _, _, _ = pipeline._batched_params("--precision=f64 --max-it=400")
+    # valued --platform/--precision are surfaced for cmd_run_batch to
+    # apply process-wide, not silently dropped (review findings, round 3)
+    fp2, _, _, _, pv = pipeline._batched_params(
+        "--precision=f64 --max-it=400")
     assert fp2["max_it"] == 400
-    pipeline._batched_params("--platform=cpu")
+    assert pv == {"precision": "f64"}
+    assert pipeline._batched_params("--platform=cpu")[4] == \
+        {"platform": "cpu"}
+    with pytest.raises(SystemExit):       # "--p" ambiguous passthrough
+        pipeline._batched_params("--p=f64")
     with pytest.raises(SystemExit):       # "--a" ambiguous (alpha/admm-alpha)
         pipeline._batched_params("--a=9")
     with pytest.raises(SystemExit):       # unknown override

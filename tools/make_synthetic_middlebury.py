@@ -79,17 +79,18 @@ def texture(seed: int):
 # (name, affine A, translation b) — motions a few pixels at frame scale,
 # mirroring Middlebury's small-displacement two-frame regime.  A maps
 # frame10 coords to frame11 coords: p' = A p + b (about the image center).
-# ``scale`` shrinks every displacement (A -> I + scale*(A - I), b ->
-# scale*b): the eval frames are halved by the pipeline's 50% resize so
-# their effective motions are ~half these values, while the GT
-# (middlebury-2) frames stay native — scale=0.5 puts both datasets in the
-# same displacement regime.
-def motions(w, h, scale: float = 1.0):
+# ``translation_scale`` shrinks only the TRANSLATION components: the
+# linear part's pixel displacement already scales with the canvas (a 1.2
+# degree rotation moves the corner of a 320x240 frame exactly half as far
+# as a 640x480 one), so the unscaled A at mb2's native 320x240 already
+# matches the eval set's post-50%-resize regime — only b, which is in
+# absolute pixels, needs the 0.5 (review finding, round 3: scaling A too
+# double-shrank rotate/zoom/shear to half the claimed regime).
+def motions(w, h, translation_scale: float = 1.0):
     c = np.array([w / 2.0, h / 2.0])
 
     def about_center(A, t):
-        A = np.eye(2) + scale * (A - np.eye(2))
-        t = scale * np.asarray(t)
+        t = translation_scale * np.asarray(t)
         # p' = A (p - c) + c + t
         return A, c - A @ c + t
 
@@ -169,7 +170,8 @@ def main() -> int:
     dz = out / "other-gray-twoframes.zip"
     gz = out / "other-gt-flow.zip"
     with zipfile.ZipFile(dz, "w") as zd, zipfile.ZipFile(gz, "w") as zg:
-        for i, (name, A, b) in enumerate(motions(w2, h2, scale=0.5)[:4]):
+        for i, (name, A, b) in enumerate(
+                motions(w2, h2, translation_scale=0.5)[:4]):
             f10, f11, u, v = render_pair(texture(200 + i), A, b, w2, h2)
             zd.writestr(f"other-data-gray/{name}/frame10.png",
                         png_bytes(f10))

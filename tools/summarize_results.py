@@ -64,8 +64,9 @@ def main() -> int:
                             f"{float(b['AE-mean']):.3f}"
                             if "AE-mean" in b else "—"]
                 row += [f"{float(b['IE']):.3f}", f"{float(b['time']):.2f}"]
-                # per-sequence solver diagnostics from the manifest (batch
-                # mode records them; per-sequence records wall_s only)
+                # per-sequence solver diagnostics from the manifest
+                # (recorded by both sweep modes: batch directly, the
+                # per-sequence path via --log-jsonl)
                 diag = (manifest.get(f"{ds}/{s.name}", {})
                         .get({"gn": "GN", "wfr": "WFR"}.get(algo, algo), {}))
                 iters = diag.get("iterations",          # ALG2 / sinkhorn
@@ -77,12 +78,14 @@ def main() -> int:
                           for k in ("EE-mean", "AE-mean", "IE")))
                 print("| " + " | ".join(row) + " |")
         for algo, rows in sorted(agg.items()):
-            means = []
-            for j, label in enumerate(("EE", "AE", "IE")):
+            cells = ["**mean**", algo]
+            for j in (0, 1) if has_gt else ():
                 vals = [r[j] for r in rows if r[j] is not None]
-                if vals:
-                    means.append(f"{label} {sum(vals) / len(vals):.3f}")
-            print(f"| **mean** | {algo} | " + " / ".join(means) + " |")
+                cells.append(f"{sum(vals) / len(vals):.3f}" if vals else "—")
+            ies = [r[2] for r in rows if r[2] is not None]
+            cells += [f"{sum(ies) / len(ies):.3f}" if ies else "—",
+                      "—", "—", "—"]              # time / iters / crit
+            print("| " + " | ".join(cells) + " |")
     if manifest:
         walls = [v.get("wall_s", 0) for e in manifest.values()
                  for v in e.values() if isinstance(v, dict)]
