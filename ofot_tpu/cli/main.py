@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sinkhorn-tol", type=float, default=1e-4,
                    help="marginal L1 convergence tolerance for "
                         "--algo=sinkhorn")
+    p.add_argument("--sinkhorn-theta", type=float, default=1.0,
+                   help="over-relaxation of the Sinkhorn dual updates "
+                        "(1.0 = classical; 1.3-1.7 measured 2-5x fewer "
+                        "iterations on compact densities, same fixed "
+                        "point; not useful at the f32 frame-scale floor)")
     p.add_argument("--save-growth", nargs="?",
                    help="file output of the WFR growth field (the "
                         "brightness-change map the source term explains)")
@@ -280,7 +285,8 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         res = sinkhorn.flow(
             rho1_d, rho2_d, args.sinkhorn_epsilon,
-            max_iter=args.max_it, tol=args.sinkhorn_tol)
+            max_iter=args.max_it, tol=args.sinkhorn_tol,
+            theta=args.sinkhorn_theta)
         jax.block_until_ready(res.u)
         # luminosity from the displacement's divergence, same convention
         # as the dynamic extraction (reference benamou_brenier.py:270)

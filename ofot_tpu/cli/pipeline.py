@@ -51,12 +51,13 @@ FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
 # eps=100 px^2 is the frame-scale f32 envelope (solvers/sinkhorn.py module
 # docstring: the per-row potential range at 240x320 needs eps >= ~50;
 # the CLI's 4.0 default targets compact blob-scale densities).  max-it
-# 4000: the round-3 sweep showed 3/6 illumination-augmented pairs need
-# 1000-4000 iterations to reach the 1e-4 marginal tol (RESULTS.md);
-# converged solves exit early, so the higher budget only costs the slow
-# pairs
+# 1000: the three illumination-augmented pairs that exit at max-it do so
+# on an f32 precision floor (marginal ~0.03-0.13; the same solves reach
+# 1e-4 in ~325 iterations under f64), so a bigger budget only burns
+# iterations — the CLI's biased-flow warning is the correct surfacing,
+# and --precision=f64 the correct remedy
 SINKHORN_ARGS = ["--algo=sinkhorn", "--sinkhorn-epsilon=100.0",
-                 "--max-it=4000"]
+                 "--max-it=1000"]
 
 _NATIVE_COLOR_FLOW = Path(__file__).resolve().parent.parent / "native" / "color_flow"
 
@@ -354,7 +355,7 @@ def _batched_params(extra: str):
     wfr_params = dict(Nt=16, delta=20.0, r=1.0, convergence_tol=0.01,
                       reg_epsilon=1e-2, max_it=200, admm_alpha=1.0,
                       stepA_solver="auto")
-    sinkhorn_params = dict(epsilon=100.0, max_iter=4000, tol=1e-4)
+    sinkhorn_params = dict(epsilon=100.0, max_iter=1000, tol=1e-4)
     key_map = {"Nt": ("foto", "Nt", int), "r": ("foto", "r", float),
                "convergence-tol": ("foto", "convergence_tol", float),
                "reg-epsilon": ("foto", "reg_epsilon", float),
@@ -365,7 +366,8 @@ def _batched_params(extra: str):
                "stepA-solver": ("foto", "stepA_solver", str),
                "wfr-delta": ("wfr", "delta", float),
                "sinkhorn-epsilon": ("sinkhorn", "epsilon", float),
-               "sinkhorn-tol": ("sinkhorn", "tol", float)}
+               "sinkhorn-tol": ("sinkhorn", "tol", float),
+               "sinkhorn-theta": ("sinkhorn", "theta", float)}
     by_which = {"foto": foto_params, "gn": gn_params, "wfr": wfr_params,
                 "sinkhorn": sinkhorn_params}
     # flags the per-sequence path honors that are handled by the batch

@@ -77,7 +77,8 @@ def _gibbs_1d(n: int, epsilon, dtype) -> jnp.ndarray:
 def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
           max_iter: int = 500, tol=1e-4, check_every: int = 25,
           init_f: jnp.ndarray | None = None,
-          init_g: jnp.ndarray | None = None) -> SinkhornResult:
+          init_g: jnp.ndarray | None = None,
+          theta: float = 1.0) -> SinkhornResult:
     """Entropic OT between grid densities ``a`` and ``b`` (both (Ny, Nx),
     nonnegative; normalized to unit mass internally).
 
@@ -93,6 +94,13 @@ def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     behind epsilon annealing (:func:`solve_annealed`): potentials vary
     continuously in eps, so a coarse-eps solution is an excellent start
     for the next finer stage.
+
+    ``theta`` over-relaxes the dual updates, ``f <- (1-theta) f + theta
+    (la - softmin(g))`` (Thibault et al., "Overrelaxed Sinkhorn-Knopp");
+    theta = 1 is the classical iteration (same fixed point for theta in
+    (0, 2)).  The contraction-rate gain matters exactly where plain
+    Sinkhorn is slow — see the measured iteration counts in
+    BENCHMARKS.md; traced, so no recompile per value.
     """
     dtype = a.dtype
     eps = jnp.asarray(epsilon, dtype)
@@ -129,11 +137,13 @@ def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
         err: jnp.ndarray
         it: jnp.ndarray
 
+    th = jnp.asarray(theta, dtype)
+
     def block(c: Carry) -> Carry:
         def one(i, fg):
             f, g = fg
-            f = la - softmin(g)
-            g = lb - softmin(f)
+            f = (1.0 - th) * f + th * (la - softmin(g))
+            g = (1.0 - th) * g + th * (lb - softmin(f))
             return f, g
 
         f, g = lax.fori_loop(0, check_every, one, (c.f, c.g))
@@ -235,7 +245,8 @@ def solve_annealed(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
                    max_iter: int = 500, tol=1e-4, check_every: int = 25,
                    anneal_from: float | None = None,
                    anneal_factor: float = 4.0,
-                   stage_iters: int = 50) -> SinkhornResult:
+                   stage_iters: int = 50,
+                   theta: float = 1.0) -> SinkhornResult:
     """Epsilon-annealed Sinkhorn (Schmitzer's eps-scaling).
 
     Plain Sinkhorn's contraction rate degrades with ``osc(C)/eps``; at
@@ -263,10 +274,10 @@ def solve_annealed(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     for e in ladder:
         res = solve(a, b, e, max_iter=stage_iters, tol=tol,
                     check_every=min(check_every, stage_iters),
-                    init_f=f, init_g=g)
+                    init_f=f, init_g=g, theta=theta)
         f, g = res.f, res.g
     return solve(a, b, epsilon, max_iter=max_iter, tol=tol,
-                 check_every=check_every, init_f=f, init_g=g)
+                 check_every=check_every, init_f=f, init_g=g, theta=theta)
 
 
 class FlowResult(NamedTuple):
@@ -288,7 +299,7 @@ class FlowResult(NamedTuple):
 def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
          max_iter: int = 500, tol=1e-4, check_every: int = 25,
          support_floor=1e-3, debias: bool = True,
-         anneal: bool = True) -> FlowResult:
+         anneal: bool = True, theta: float = 1.0) -> FlowResult:
     """Optical flow as the barycentric projection of the entropic plan.
 
     A third flow model family next to the dynamic solvers (FOTO/WFR) and
@@ -325,7 +336,7 @@ def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     an = a / jnp.sum(a)
     _solve = solve_annealed if anneal else solve
     res = _solve(a, b, epsilon, max_iter=max_iter, tol=tol,
-                 check_every=check_every)
+                 check_every=check_every, theta=theta)
     Ky = _gibbs_1d(Ny, eps, dtype)
     Kx = _gibbs_1d(Nx, eps, dtype)
     prec = jax.lax.Precision.HIGHEST
@@ -349,7 +360,7 @@ def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     ty, tx, ok = bary(res.g)
     if debias:
         self_res = _solve(a, a, epsilon, max_iter=max_iter, tol=tol,
-                          check_every=check_every)
+                          check_every=check_every, theta=theta)
         y0, x0, ok0 = bary(self_res.g)
         ok = ok & ok0
         err = jnp.maximum(res.marginal_error, self_res.marginal_error)

@@ -120,3 +120,21 @@ def test_flow_f32():
     assert r.u.dtype == jnp.float32
     assert abs(float((an * np.asarray(r.u)).sum()) - 4.0) < 0.02
     assert abs(float((an * np.asarray(r.v)).sum())) < 0.02
+
+
+def test_overrelaxation_same_fixed_point_fewer_iterations():
+    """theta in (1, 2) accelerates the classical iteration to the SAME
+    fixed point (Thibault et al. overrelaxed Sinkhorn-Knopp): measured
+    230 -> 70 iterations at theta=1.5 on the 48x48 blob pair (eps=4).
+    Pin both the agreement and a conservative speedup bound."""
+    a = _blob(48, 48, 20, 20)
+    b = _blob(48, 48, 28, 26)
+    base = sinkhorn.solve(a, b, 4.0, max_iter=5000, tol=1e-6,
+                          check_every=10)
+    over = sinkhorn.solve(a, b, 4.0, max_iter=5000, tol=1e-6,
+                          check_every=10, theta=1.5)
+    assert float(base.marginal_error) <= 1e-6
+    assert float(over.marginal_error) <= 1e-6
+    # same entropic cost (same fixed point), substantially fewer iters
+    assert abs(float(base.cost) - float(over.cost)) < 1e-3
+    assert int(over.iterations) <= int(base.iterations) // 2
