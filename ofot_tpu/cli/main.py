@@ -100,9 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--algo=sinkhorn")
     p.add_argument("--sinkhorn-theta", type=float, default=1.0,
                    help="over-relaxation of the Sinkhorn dual updates "
-                        "(1.0 = classical; 1.3-1.7 measured 2-5x fewer "
-                        "iterations on compact densities, same fixed "
-                        "point; not useful at the f32 frame-scale floor)")
+                        "(1.0 = classical; measured 1.8x/3.3x/4.6x fewer "
+                        "iterations at 1.3/1.5/1.7 on compact "
+                        "densities, same fixed point; not useful at "
+                        "the f32 frame-scale floor)")
     p.add_argument("--save-growth", nargs="?",
                    help="file output of the WFR growth field (the "
                         "brightness-change map the source term explains)")
@@ -283,6 +284,13 @@ def main(argv=None) -> int:
                   "below the validated f32 envelope (eps >= 3); results "
                   "may be degraded — use --precision=f64 or a larger eps",
                   file=sys.stderr)
+        if not 0.0 < args.sinkhorn_theta < 2.0:
+            # inside flow()'s jit theta is a tracer, so the library-level
+            # ValueError cannot fire there — reject at the CLI boundary
+            # (theta >= 2 diverges to NaN potentials, which would
+            # otherwise come back as a plausible all-zero flow)
+            raise SystemExit(f"--sinkhorn-theta={args.sinkhorn_theta} "
+                             "outside the convergent range (0, 2)")
         res = sinkhorn.flow(
             rho1_d, rho2_d, args.sinkhorn_epsilon,
             max_iter=args.max_it, tol=args.sinkhorn_tol,
@@ -296,9 +304,11 @@ def main(argv=None) -> int:
         solver_stats = {"iterations": int(res.iterations),
                         "marginal_error": float(res.marginal_error),
                         "epsilon": args.sinkhorn_epsilon}
-        if res.marginal_error > args.sinkhorn_tol:
-            # a max_iter exit returns a biased flow — surface it instead of
-            # leaving it buried in solver_stats (ADVICE.md r2)
+        if not (res.marginal_error <= args.sinkhorn_tol):
+            # a max_iter exit returns a biased flow — surface it instead
+            # of leaving it buried in solver_stats (ADVICE.md r2).  The
+            # negated <= form also fires on a NaN error (diverged solve),
+            # which a plain `> tol` comparison silently misses
             print(f"WARNING: sinkhorn hit max-it={args.max_it} with "
                   f"marginal error {float(res.marginal_error):.3g} > "
                   f"tol {args.sinkhorn_tol:g}; flow may be biased — "
@@ -306,12 +316,22 @@ def main(argv=None) -> int:
         if not args.quiet or args.log_jsonl:
             # debiased W2 from the costs flow() already computed (a->b and
             # the a->a self-solve); only the b->b self-solve is new
-            # (ADVICE.md r2 — was 5 solves where 3 suffice)
+            # (ADVICE.md r2 — was 5 solves where 3 suffice).  Same theta
+            # as flow()'s solves, and its convergence is checked like
+            # theirs (review, round 3)
             bb = sinkhorn.solve(rho2_d, rho2_d, args.sinkhorn_epsilon,
-                                max_iter=args.max_it, tol=args.sinkhorn_tol)
+                                max_iter=args.max_it, tol=args.sinkhorn_tol,
+                                theta=args.sinkhorn_theta)
             div = res.cost_ab - 0.5 * (res.cost_aa + bb.cost)
             w2 = float(jnp.sqrt(jnp.maximum(div, 0.0)))
             solver_stats["wasserstein2"] = w2
+            solver_stats["w2_marginal_error"] = float(bb.marginal_error)
+            if not (bb.marginal_error <= args.sinkhorn_tol):
+                print("WARNING: the b->b self-solve behind W2_entropic "
+                      f"exited at marginal error "
+                      f"{float(bb.marginal_error):.3g} > tol "
+                      f"{args.sinkhorn_tol:g}; the reported W2 may be "
+                      "biased", file=sys.stderr)
             if not args.quiet:
                 print(f"W2_entropic(rho0, rhoT) = {w2:.6g} px")
     elif args.algo == "HS":

@@ -1,6 +1,7 @@
 """Entropic OT (Sinkhorn) solver: exactness on translations, debiasing,
 and cross-validation against the dynamic (Benamou–Brenier) W2."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -138,3 +139,13 @@ def test_overrelaxation_same_fixed_point_fewer_iterations():
     # same entropic cost (same fixed point), substantially fewer iters
     assert abs(float(base.cost) - float(over.cost)) < 1e-3
     assert int(over.iterations) <= int(base.iterations) // 2
+
+
+def test_overrelaxation_theta_validated():
+    """theta outside (0, 2) diverges to NaN potentials which would pass
+    every `err > tol` check vacuously — rejected up front (review r3)."""
+    a = _blob(24, 24, 10, 10)
+    with pytest.raises(ValueError):
+        sinkhorn.solve(a, a, 4.0, theta=2.3)
+    with pytest.raises(ValueError):
+        sinkhorn.solve(a, a, 4.0, theta=0.0)
