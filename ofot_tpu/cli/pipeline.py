@@ -266,8 +266,12 @@ def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,
         res.update({k: v for k, v in solve.items()
                     if isinstance(v, (int, float)) and not isinstance(v, bool)
                     and k not in ("ts", "wall_s", "w", "h")})
-    except (OSError, IndexError, ValueError):
-        pass
+    except (OSError, IndexError, ValueError) as e:
+        # the manifest's per-sequence diagnostics depend on this file; a
+        # silent pass here makes '—' columns in sweep summaries
+        # undiagnosable (ADVICE.md r3)
+        print(f"note: could not fold {stats_path.name} diagnostics into "
+              f"the manifest ({type(e).__name__}: {e})", file=sys.stderr)
     return res
 
 
@@ -426,6 +430,15 @@ def _batched_params(extra: str):
             wfr_params[name] = cast(v)
         if name == "max_it":       # shared iteration budget
             sinkhorn_params["max_iter"] = cast(v)
+    # validate theta while it is still a Python float: inside the batched
+    # vmap/jit (sweep.py -> sinkhorn.flow) it becomes a tracer and the
+    # library ValueError cannot fire — an out-of-range theta would
+    # silently yield NaN potentials and a plausible all-zero flow
+    # (ADVICE.md r3, mirroring the cli/main.py SystemExit check)
+    th = sinkhorn_params.get("theta")
+    if th is not None and not 0.0 < th < 2.0:
+        raise SystemExit(f"--sinkhorn-theta={th} outside the convergent "
+                         "range (0, 2)")
     return (foto_params, gn_params, wfr_params, sinkhorn_params,
             passthrough_vals)
 

@@ -84,10 +84,23 @@ def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     ``err > tol`` check vacuously (review, round 3).  When theta arrives
     as a tracer (``solve`` called inside another jit, e.g. ``flow``) the
     caller is responsible for the range check — the CLI rejects
-    out-of-range ``--sinkhorn-theta`` at the boundary."""
-    if isinstance(theta, (int, float)) and not 0.0 < theta < 2.0:
-        raise ValueError(f"sinkhorn theta={theta} outside the convergent "
-                         "range (0, 2)")
+    out-of-range ``--sinkhorn-theta`` at the boundary.
+
+    Upper-range note: fixed over-relaxation has only local convergence
+    guarantees near theta = 2 (Thibault et al. use a safeguarded/adaptive
+    theta for a global proof); values above ~1.7 can oscillate on some
+    density pairs and burn the full budget — the dual-marginal error
+    check and the max-iter warning surface that when it happens."""
+    if not isinstance(theta, jax.core.Tracer):
+        # concrete values of ANY numeric type (np.float32, 0-d jnp
+        # arrays, Python floats) are range-checked; only genuine tracers
+        # — where the value is unknowable here — defer to the caller
+        # (ADVICE.md r3: the old int/float test silently skipped numpy
+        # scalars)
+        theta = float(theta)
+        if not 0.0 < theta < 2.0:
+            raise ValueError(f"sinkhorn theta={theta} outside the "
+                             "convergent range (0, 2)")
     return _solve_impl(a, b, epsilon, max_iter=max_iter, tol=tol,
                        check_every=check_every, init_f=init_f,
                        init_g=init_g, theta=theta)
