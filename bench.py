@@ -125,7 +125,7 @@ def main() -> int:
         rhoT = jnp.stack([jnp.roll(rhoT, i, axis=1)
                           for i in range(args.batch)])
 
-    def make_run(ops):
+    def make_run(ops, iters=iters):
         def one(rho0, rhoT):
             st = foto.init_state(rho0, rhoT, Nt)
 
@@ -183,6 +183,17 @@ def main() -> int:
         except Exception as e:     # pragma: no cover
             print(f"[cg ] failed: {e}", file=sys.stderr)
 
+    # tunnel-free device time: time the same program at 2x the iteration
+    # count and take the marginal cost (t_2N - t_N) / N — the constant
+    # per-call overhead (remote dispatch, host read) cancels exactly, so
+    # this number is comparable across tunnel-health phases where the raw
+    # wall rate swings by 3x (VERDICT.md r3 weak #1)
+    best2, _, _, comp2 = time_run(make_run(primary, iters=2 * iters))
+    marginal_ms = (best2 - best) / iters * 1e3
+    print(f"[{args.ops}] 2x-iters best {best2:.3f}s -> marginal "
+          f"{marginal_ms:.3f} ms/iter (device-time estimate; raw "
+          f"{best / iters * 1e3:.2f})", file=sys.stderr)
+
     pts = args.Nt * args.ny * args.nx * iters * args.batch
     rate = pts / best
 
@@ -191,6 +202,8 @@ def main() -> int:
         "value": round(rate, 1),
         "unit": "grid-point-iterations/s",
         "vs_baseline": round(rate / BASELINE_PTS_PER_S, 2),
+        "device_ms_per_iter_marginal": round(marginal_ms, 4),
+        "wall_ms_per_iter": round(best / iters * 1e3, 4),
     }))
     return 0
 

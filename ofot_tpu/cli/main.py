@@ -243,8 +243,12 @@ def main(argv=None) -> int:
             reg_epsilon=args.reg_epsilon, max_it=args.max_it,
             verbose=not args.quiet, init=init, auto_r=args.auto_r,
             ops=foto.stepA_ops(solver), admm_alpha=args.admm_alpha)
+        # the luminosity slot gets the GROWTH field — the brightness
+        # change the source term actually modeled — not FOTO's
+        # m = -div(u, v) proxy, so the benchmark reconstruction
+        # (1+m)*f1 exercises what WFR adds (VERDICT.md r3 item 3)
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
-                   np.asarray(result.m))
+                   np.asarray(result.growth))
         jax.block_until_ready(result.state.phi)
         solve_end = time.time()
         solver_stats = {"iterations": int(result.state.iteration),

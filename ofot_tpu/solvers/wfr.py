@@ -245,19 +245,31 @@ def solve(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
                             admm_alpha=admm_alpha, auto_r=auto_r,
                             init=init)
     u, v, m = flow_from_potential(state.phi)
+    growth = growth_from_state(state, delta)
+    return WfrResult(u=u, v=v, m=m, growth=growth,
+                     source=state.mu[3] / delta, state=state)
+
+
+def growth_from_state(state: foto.FotoState, delta) -> jnp.ndarray:
+    """(Ny, Nx) integrated multiplicative brightness change - 1: the
+    luminosity field the source term explains — WFR's answer to the
+    reference's GN m-field (reference classical.py data term) and the
+    field the WFR benchmark reconstruction uses via the ``(1+m)*f1``
+    luminosity slot (reference utils.py:202-203; VERDICT.md r3 item 3).
+
+    Relative growth rate g = zeta / rho; brightness multiplier over the
+    horizon is exp(integral g dt) (trapezoid).  The rate is only
+    meaningful where the trajectory carries mass: a RELATIVE floor
+    zeroes vacuum cells, where zeta/rho is numerical noise amplified
+    through exp (an absolute 1e-12 floor let |rate| reach ~1e9 there).
+    vmap-safe (used by the batched sweep, parallel/sweep.py)."""
     zeta = state.mu[3] / delta
-    # relative growth rate g = zeta / rho; brightness multiplier over the
-    # horizon is exp(integral g dt) (trapezoid).  The rate is only
-    # meaningful where the trajectory carries mass: a RELATIVE floor
-    # zeroes vacuum cells, where zeta/rho is numerical noise amplified
-    # through exp (an absolute 1e-12 floor let |rate| reach ~1e9 there)
     rho = state.mu[0]
     floor = 1e-6 * jnp.max(rho)
     rate = jnp.where(rho > floor, zeta / jnp.maximum(rho, floor), 0.0)
-    w = jnp.ones((state.mu.shape[1],), rho.dtype).at[0].set(0.5).at[-1].set(0.5)
-    growth = jnp.exp(jnp.tensordot(w, rate, axes=1)) - 1.0
-    return WfrResult(u=u, v=v, m=m, growth=growth, source=zeta,
-                     state=state)
+    w = jnp.ones((state.mu.shape[-3],), rho.dtype
+                 ).at[0].set(0.5).at[-1].set(0.5)
+    return jnp.exp(jnp.tensordot(w, rate, axes=1)) - 1.0
 
 
 def total_created_mass(state: foto.FotoState, delta: float) -> jnp.ndarray:
