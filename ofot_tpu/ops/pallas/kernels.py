@@ -346,15 +346,21 @@ def dct_solve_pallas(F: jnp.ndarray, r, reg_epsilon) -> jnp.ndarray:
     """Spectral stepA solve ``(-r*L_st + r*eps*I) phi = F`` with the whole
     2-D (y, x) transform pipeline fused into one Pallas kernel.
 
-    The XLA spectral solve (solvers/dct.py) runs each of the six transform
-    matmuls as a separate HLO with a moveaxis relayout, materializing ~4
-    intermediate (Nt, Ny, Nx) fields through HBM — measured 2.4x off the
-    stepA HBM+MXU roofline at the production (16, 240, 320) shape
-    (BENCHMARKS.md round-3 profile; VERDICT.md r3 item 1).  Here only the
-    cheap t-axis contractions (K = Nt, bandwidth-bound) stay in XLA; a
-    grid over the Nt t-frequencies runs y-fwd -> x-fwd -> divide ->
-    y-inv -> x-inv per (Ny, Nx) slice in VMEM (~1.5 MB working set at
-    production, ~17 MB/slice headroom at 1080p per-slice sizes).
+    Only the cheap t-axis contractions (K = Nt, bandwidth-bound) stay in
+    XLA; a grid over the Nt t-frequencies runs y-fwd -> x-fwd -> divide ->
+    y-inv -> x-inv per (Ny, Nx) slice in VMEM (~1.5 MB working set at the
+    production shape).
+
+    MEASURED NEGATIVE (v5e, tools/ab_stepa_fused.py, BENCHMARKS.md r4):
+    device-time parity with the XLA 6-pass solve in isolation (0.153
+    ms/apply chain-marginal both — the XLA solve already sits on the
+    roofline; VERDICT.md r3's "2.4x gap" was the ~25 ms per-call dispatch
+    constant contaminating an isolated 200-rep measurement) and a net
+    LOSS inside the full ALG2 iteration (0.51 vs 0.44 ms/iter): the
+    pallas_call boundary forfeits XLA's div_st -> stepA -> grad_st
+    cross-fusion.  Production-shape only — the (Nx, Nx) transform matrix
+    alone exceeds VMEM at 1080p.  Kept as a measured experimental
+    backend (``--stepA-solver=dct-fused``).
 
     ``r`` / ``reg_epsilon`` are traced (same contract as
     ``dct.solve_stepA_dct``); the spectrum is assembled from its 1-D

@@ -127,21 +127,33 @@ class DCTRefinedOps(DCTOps):
 
 class DCTFusedOps(DCTOps):
     """Spectral stepA with the (y, x) transform pipeline fused into one
-    Pallas VMEM kernel (ofot_tpu/ops/pallas/kernels.py:dct_solve_pallas):
-    only the cheap t-axis contractions stay as XLA matmuls, removing the
-    ~4 intermediate HBM round-trips of the 6-pass XLA spectral solve
-    (VERDICT.md r3 item 1 — stepA measured 2.4x off its roofline)."""
+    Pallas VMEM kernel (ofot_tpu/ops/pallas/kernels.py:dct_solve_pallas).
+
+    MEASURED NEGATIVE on v5e at the production shape (VERDICT.md r3
+    item 1; tools/ab_stepa_fused.py, BENCHMARKS.md round 4): chain
+    marginals put the fused kernel at device-time PARITY with the XLA
+    6-pass solve (0.153 ms/apply both — the XLA path already sits on the
+    stepA roofline; r3's "2.4x off roofline" was per-call dispatch
+    constant contaminating an isolated measurement), and in the full
+    ALG2 iteration the kernel LOSES (0.51 vs 0.44 ms/iter): pallas_call
+    is a fusion barrier, so the div_st -> stepA -> grad_st cross-fusion
+    XLA performs is forfeited.  Kept as a measured experimental backend;
+    production-shape only (the per-slice VMEM working set exceeds 16 MB
+    at 1080p: Cx alone is 14.7 MB)."""
 
     def stepA_solve(self, F, r, reg_epsilon, cg_rtol, cg_maxiter):
         from ofot_tpu.ops.pallas import kernels
         return kernels.dct_solve_pallas(F, r, reg_epsilon), jnp.int32(1)
 
 
-class PallasOps(DCTFusedOps):
-    """TPU production set: fused-spectral stepA + one fused Pallas VMEM
-    pass for stepB projection + stepC dual update + criterion partials
+class PallasOps(DCTOps):
+    """TPU production set: spectral stepA + one fused Pallas VMEM pass for
+    stepB projection + stepC dual update + criterion partials
     (ofot_tpu/ops/pallas/kernels.py) — grad_phi and mu are read from HBM
-    once per iteration instead of once per sub-step."""
+    once per iteration instead of once per sub-step.  stepA stays the XLA
+    spectral solve: the Pallas-fused variant measured slower in-context
+    and cannot fit VMEM at the large shapes where this ops set is
+    auto-selected (see DCTFusedOps)."""
 
     @staticmethod
     def project(p):

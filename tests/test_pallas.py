@@ -95,3 +95,35 @@ def test_cg_operator_kernel_matches_xla():
 def test_fits_in_vmem():
     assert kernels.fits_in_vmem((16, 240, 320))
     assert not kernels.fits_in_vmem((16, 2400, 3200))
+
+
+def test_dct_solve_pallas_matches_xla_spectral():
+    """The fused spectral stepA kernel (measured-negative experimental
+    backend, ``--stepA-solver=dct-fused``) must agree with the XLA
+    spectral solve — including traced r/reg_epsilon and odd shapes."""
+    from ofot_tpu.solvers import dct
+
+    for shape in [(4, 16, 24), (5, 17, 23), (8, 48, 64)]:
+        F = jnp.asarray(np.float32(RNG.standard_normal(shape)))
+        for r, eps in [(1.0, 1e-2), (0.3, 1e-3)]:
+            a = dct.solve_stepA_dct(F, r, eps)
+            b = jax.jit(kernels.dct_solve_pallas)(F, r, eps)
+            err = float(jnp.abs(a - b).max() / jnp.abs(a).max())
+            assert err < 5e-6, (shape, r, eps, err)
+
+
+def test_dct_fused_ops_alg2_matches_dct_ops():
+    """A short ALG2 run under DCTFusedOps tracks the DCT_OPS trajectory."""
+    from ofot_tpu.solvers import foto
+    from tests.fixtures import smooth_blob_pair
+
+    f1, f2 = smooth_blob_pair(24, 32, dtype=np.float32)
+    a = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                             r=1.0, reg_epsilon=1e-2, convergence_tol=0.0,
+                             max_it=8, ops=foto.DCT_OPS)
+    b = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                             r=1.0, reg_epsilon=1e-2, convergence_tol=0.0,
+                             max_it=8, ops=foto.DCTFusedOps())
+    np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
+                               atol=1e-4)
+    assert abs(float(a.crit) - float(b.crit)) < 1e-4
