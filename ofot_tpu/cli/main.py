@@ -65,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-iteration solver prints")
     p.add_argument("--stepA-solver",
-                   choices=["cg", "dct", "dct-refined", "pallas", "auto"],
+                   choices=["cg", "dct", "dct-refined", "pallas",
+                            "dct-fused", "cg-pallas", "auto"],
                    default="auto",
                    help="FOTO stepA backend: cg = reference-faithful "
                         "iterative solve; dct = exact spectral solve (MXU); "

@@ -46,11 +46,16 @@ GN_ARGS = ["--algo=GN", "--alpha=0.1", "--lambda=0.2"]
 # tools/parity_matrix.py); --extra-args "--admm-alpha=1" restores the
 # reference-exact iteration for any sweep.
 # framework extension: unbalanced OT over the sweep (same production
-# budget as FOTO; delta=20 px keeps genuine motion in the transport
-# channel and routes illumination change to the source)
+# budget as FOTO).  delta=5 px from the round-4 delta study (RESULTS.md):
+# -lum IE improves monotonically as delta shrinks (20.6 at delta=5 vs
+# FOTO's 31.9 on Rotate-lum; 34.9 at the old delta=20) while mb2 EE vs
+# ground truth stays flat to the 4th digit down to delta=2.5 — the
+# growth channel absorbs illumination without degrading the transport
+# estimate; 5 keeps the ~pi*delta/2 ~ 8 px transport cutoff above
+# typical half-res motion
 WFR_ARGS = ["--algo=WFR", "--r=1", "--convergence-tol=0.01",
             "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200",
-            "--wfr-delta=20", "--admm-alpha=1.7"]
+            "--wfr-delta=5", "--admm-alpha=1.7"]
 FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
              "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200",
              "--admm-alpha=1.7"]
@@ -433,7 +438,7 @@ def _batched_params(extra: str):
     foto_params = dict(Nt=16, r=1.0, convergence_tol=0.01,
                        reg_epsilon=1e-2, max_it=200, admm_alpha=1.7)
     gn_params = dict(alpha=0.1, lambda_=0.2)
-    wfr_params = dict(Nt=16, delta=20.0, r=1.0, convergence_tol=0.01,
+    wfr_params = dict(Nt=16, delta=5.0, r=1.0, convergence_tol=0.01,
                       reg_epsilon=1e-2, max_it=200, admm_alpha=1.7,
                       stepA_solver="auto")
     sinkhorn_params = dict(epsilon=100.0, max_iter=1000, tol=1e-4)

@@ -461,12 +461,113 @@ def cg_operator_pallas(x: jnp.ndarray, r: float = 1.0,
 
     NOTE: matches the XLA twin in interpret mode, but the concat-heavy
     whole-array form currently crashes this environment's remote Mosaic
-    compiler (production shapes), and the spectral stepA (solvers/dct.py)
-    obsoletes the CG loop on TPU anyway — kept as an experimental kernel,
-    not wired into any ops context."""
+    compiler (production shapes) — superseded by the blocked rewrite
+    :func:`cg_operator_pallas_blocked` (VERDICT.md r3 item 5), kept only
+    as the simplest reference form for interpret-mode comparison."""
     return _pallas_call(
         functools.partial(_cg_op_kernel, r=r, reg_epsilon=reg_epsilon),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(x)
+
+
+def _pick_by(Ny: int) -> int:
+    """Largest row-block height dividing Ny, a multiple of 8, <= 128
+    (Mosaic block rule: second-to-last dim multiple of 8 or whole axis);
+    falls back to the whole axis."""
+    for by in range(128, 7, -8):
+        if Ny % by == 0:
+            return by
+    return Ny
+
+
+def _cg_op_blocked_kernel(p_ref, x_hbm, out_ref, cur, prev, nxt, sem, *,
+                          Nt, Ny, Nx, By):
+    """One (t, y-block) tile of the stepA operator, halo rows staged by
+    explicit DMA — no whole-array concats (the construct that crashed the
+    remote Mosaic compiler in the round-3 kernel), no overlapping
+    BlockSpecs.
+
+    ``x_hbm`` is the zero-padded field (Nt+2, Ny+2, Nx) left in HBM/ANY;
+    each grid step copies its (By+2, Nx) center slice plus same-row
+    slices of the t-neighbors into VMEM.  Zero padding makes the DMA
+    windows uniform AND implements the 'N' boundary stencil: the
+    reference row form -x0 + x1 equals (0 - 2*x0 + x1) + x0, i.e. the
+    interior stencil against a zero halo plus a boundary-masked +x
+    correction (reference operators.py:104-108 semantics, quirk-faithful
+    like ops/stencils.py)."""
+    t = pl.program_id(0)
+    yb = pl.program_id(1)
+    d_cur = pltpu.make_async_copy(
+        x_hbm.at[t + 1, pl.ds(yb * By, By + 2), :], cur, sem.at[0])
+    d_prev = pltpu.make_async_copy(
+        x_hbm.at[t, pl.ds(yb * By + 1, By), :], prev, sem.at[1])
+    d_next = pltpu.make_async_copy(
+        x_hbm.at[t + 2, pl.ds(yb * By + 1, By), :], nxt, sem.at[2])
+    d_cur.start()
+    d_prev.start()
+    d_next.start()
+    d_cur.wait()
+    d_prev.wait()
+    d_next.wait()
+
+    xc = cur[1:By + 1, :]
+    lap_y = cur[0:By, :] + cur[2:By + 2, :] - 2.0 * xc
+    rows = jax.lax.broadcasted_iota(jnp.int32, (By, Nx), 0) + yb * By
+    lap_y = lap_y + jnp.where((rows == 0) | (rows == Ny - 1), xc, 0.0)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (By, Nx), 1)
+    xl = jnp.where(cols == 0, 0.0, pltpu.roll(xc, 1, 1))
+    # pltpu.roll requires a non-negative shift: Nx-1 == -1 (circular)
+    xr = jnp.where(cols == Nx - 1, 0.0, pltpu.roll(xc, Nx - 1, 1))
+    lap_x = xl + xr - 2.0 * xc
+    lap_x = lap_x + jnp.where((cols == 0) | (cols == Nx - 1), xc, 0.0)
+
+    lap_t = prev[:, :] + nxt[:, :] - 2.0 * xc
+    t_edge = (t == 0) | (t == Nt - 1)
+    lap_t = lap_t + jnp.where(t_edge, xc, 0.0)
+
+    r = p_ref[0, 0]
+    reg_epsilon = p_ref[0, 1]
+    out_ref[0] = -r * (lap_t + lap_y + lap_x) + (r * reg_epsilon) * xc
+
+
+@jax.jit
+def cg_operator_pallas_blocked(x: jnp.ndarray, r=1.0,
+                               reg_epsilon=1e-2) -> jnp.ndarray:
+    """Blocked Pallas form of the CG system operator
+    ``-r * laplacian_st(x, bc='N') + r*eps*x`` (VERDICT.md r3 item 5).
+
+    Grid over (Nt, Ny/By) tiles; halo rows staged into VMEM by explicit
+    DMA from a zero-padded HBM copy (see the kernel docstring for why
+    padding encodes the 'N' boundary rows exactly).  Compiles on the real
+    Mosaic backend at the production and 1080p shapes — unlike the
+    whole-array concat form it replaces; measured numbers in
+    BENCHMARKS.md.  Exposed to the solvers as the ``cg-pallas`` stepA
+    backend (``foto.stepA_ops``)."""
+    Nt, Ny, Nx = x.shape
+    By = _pick_by(Ny)
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    # r / reg_epsilon traced via SMEM so the kernel can sit inside the
+    # jitted ALG2 loop, where both arrive as tracers (same contract as
+    # dct.solve_stepA_dct)
+    params = jnp.stack([jnp.asarray(r, x.dtype),
+                        jnp.asarray(reg_epsilon, x.dtype)]).reshape(1, 2)
+    return _pallas_call(
+        functools.partial(_cg_op_blocked_kernel,
+                          Nt=Nt, Ny=Ny, Nx=Nx, By=By),
+        grid=(Nt, Ny // By),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec((1, 2), lambda t, yb: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, By, Nx), lambda t, yb: (t, yb, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((By + 2, Nx), x.dtype),
+            pltpu.VMEM((By, Nx), x.dtype),
+            pltpu.VMEM((By, Nx), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(params, xp)

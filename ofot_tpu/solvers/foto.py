@@ -170,6 +170,21 @@ class PallasOps(DCTOps):
         return kernels.fused_pointwise_pallas(grad_phi, mu, r)
 
 
+class PallasCGOps(_DefaultOps):
+    """Reference-faithful CG stepA with the system operator's SpMV as the
+    blocked Pallas stencil kernel (VERDICT.md r3 item 5;
+    ofot_tpu/ops/pallas/kernels.py:cg_operator_pallas_blocked) — the
+    7-point space-time Laplacian fused with the axpy in one VMEM pass per
+    (t, y-block) tile, halo rows staged by explicit DMA.  Same CG
+    semantics as DEFAULT_OPS; measured against the XLA stencil body in
+    BENCHMARKS.md."""
+
+    def cg_operator(self, r, reg_epsilon):
+        from ofot_tpu.ops.pallas import kernels
+        return lambda phi: kernels.cg_operator_pallas_blocked(
+            phi, r, reg_epsilon)
+
+
 DEFAULT_OPS = _DefaultOps()
 DCT_OPS = DCTOps()
 PALLAS_OPS = PallasOps()
@@ -197,7 +212,8 @@ def stepA_ops(solver: str):
     try:
         return {"cg": DEFAULT_OPS, "dct": DCT_OPS, "pallas": PALLAS_OPS,
                 "dct-refined": DCTRefinedOps(),
-                "dct-fused": DCTFusedOps()}[solver]
+                "dct-fused": DCTFusedOps(),
+                "cg-pallas": PallasCGOps()}[solver]
     except KeyError:
         raise ValueError(f"unknown stepA_solver {solver!r}")
 

@@ -127,3 +127,31 @@ def test_dct_fused_ops_alg2_matches_dct_ops():
     np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
                                atol=1e-4)
     assert abs(float(a.crit) - float(b.crit)) < 1e-4
+
+
+def test_cg_operator_blocked_matches_xla():
+    """The blocked (DMA-halo) CG operator kernel matches the XLA stencil,
+    including odd shapes and traced r/reg_epsilon."""
+    for shape in [(6, 16, 24), (5, 17, 23), (4, 48, 40)]:
+        x = jnp.asarray(np.float32(RNG.standard_normal(shape)))
+        for r, eps in [(1.0, 1e-2), (0.7, 1e-3)]:
+            want = -r * operators.laplacian_st(x, bc="N") + (r * eps) * x
+            got = kernels.cg_operator_pallas_blocked(x, r, eps)
+            assert float(jnp.abs(want - got).max()) < 1e-5, (shape, r)
+
+
+def test_cg_pallas_ops_alg2_matches_default():
+    """A short CG-stepA ALG2 run with the Pallas SpMV tracks DEFAULT_OPS."""
+    from ofot_tpu.solvers import foto
+    from tests.fixtures import smooth_blob_pair
+
+    f1, f2 = smooth_blob_pair(16, 24, dtype=np.float32)
+    kw = dict(r=1.0, reg_epsilon=1e-2, convergence_tol=0.0, max_it=5,
+              cg_maxiter=50)
+    a = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                             ops=foto.DEFAULT_OPS, **kw)
+    b = foto.solve_potential(jnp.asarray(f1), jnp.asarray(f2), 4,
+                             ops=foto.stepA_ops("cg-pallas"), **kw)
+    np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
+                               atol=5e-3)
+    assert abs(float(a.crit) - float(b.crit)) < 1e-3
