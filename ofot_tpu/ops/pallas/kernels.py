@@ -472,10 +472,15 @@ def cg_operator_pallas(x: jnp.ndarray, r: float = 1.0,
     )(x)
 
 
+# sublane-dim halo: Mosaic requires 8-aligned DMA slice starts/sizes, so
+# the single stencil row comes with a full 8-row pad
+_HALO_Y = 8
+
+
 def _pick_by(Ny: int) -> int:
     """Largest row-block height dividing Ny, a multiple of 8, <= 128
     (Mosaic block rule: second-to-last dim multiple of 8 or whole axis);
-    falls back to the whole axis."""
+    falls back to the whole axis.  Callers pass an 8-rounded Ny."""
     for by in range(128, 7, -8):
         if Ny % by == 0:
             return by
@@ -483,7 +488,7 @@ def _pick_by(Ny: int) -> int:
 
 
 def _cg_op_blocked_kernel(p_ref, x_hbm, out_ref, cur, prev, nxt, sem, *,
-                          Nt, Ny, Nx, By):
+                          Nt, Ny, Nx, Nxp, By):
     """One (t, y-block) tile of the stepA operator, halo rows staged by
     explicit DMA — no whole-array concats (the construct that crashed the
     remote Mosaic compiler in the round-3 kernel), no overlapping
@@ -499,12 +504,14 @@ def _cg_op_blocked_kernel(p_ref, x_hbm, out_ref, cur, prev, nxt, sem, *,
     like ops/stencils.py)."""
     t = pl.program_id(0)
     yb = pl.program_id(1)
-    d_cur = pltpu.make_async_copy(
-        x_hbm.at[t + 1, pl.ds(yb * By, By + 2), :], cur, sem.at[0])
-    d_prev = pltpu.make_async_copy(
-        x_hbm.at[t, pl.ds(yb * By + 1, By), :], prev, sem.at[1])
-    d_next = pltpu.make_async_copy(
-        x_hbm.at[t + 2, pl.ds(yb * By + 1, By), :], nxt, sem.at[2])
+    # Mosaic requires DMA slice starts/sizes in the sublane dim to be
+    # 8-aligned, so the halo is a full 8-row pad (not 1): every window is
+    # (By + 16) rows starting at the 8-aligned yb*By
+    H = _HALO_Y
+    win = (pl.ds(yb * By, By + 2 * H), slice(None))
+    d_cur = pltpu.make_async_copy(x_hbm.at[(t + 1, *win)], cur, sem.at[0])
+    d_prev = pltpu.make_async_copy(x_hbm.at[(t, *win)], prev, sem.at[1])
+    d_next = pltpu.make_async_copy(x_hbm.at[(t + 2, *win)], nxt, sem.at[2])
     d_cur.start()
     d_prev.start()
     d_next.start()
@@ -512,19 +519,26 @@ def _cg_op_blocked_kernel(p_ref, x_hbm, out_ref, cur, prev, nxt, sem, *,
     d_prev.wait()
     d_next.wait()
 
-    xc = cur[1:By + 1, :]
-    lap_y = cur[0:By, :] + cur[2:By + 2, :] - 2.0 * xc
-    rows = jax.lax.broadcasted_iota(jnp.int32, (By, Nx), 0) + yb * By
+    w = cur[:]
+    c = slice(H, By + H)                      # 8-aligned center window
+    xc = w[c, :]
+    # up/down neighbors via roll-then-aligned-slice (an unaligned static
+    # slice would hit the same 8-alignment rule); the circular wrap only
+    # touches rows 0 / By+2H-1, outside the sliced window
+    up = pltpu.roll(w, 1, 0)[c, :]
+    dn = pltpu.roll(w, By + 2 * H - 1, 0)[c, :]      # shift -1 (circular)
+    lap_y = up + dn - 2.0 * xc
+    rows = jax.lax.broadcasted_iota(jnp.int32, (By, Nxp), 0) + yb * By
     lap_y = lap_y + jnp.where((rows == 0) | (rows == Ny - 1), xc, 0.0)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (By, Nx), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (By, Nxp), 1)
     xl = jnp.where(cols == 0, 0.0, pltpu.roll(xc, 1, 1))
-    # pltpu.roll requires a non-negative shift: Nx-1 == -1 (circular)
-    xr = jnp.where(cols == Nx - 1, 0.0, pltpu.roll(xc, Nx - 1, 1))
+    # pltpu.roll requires a non-negative shift: Nxp-1 == -1 (circular)
+    xr = jnp.where(cols == Nx - 1, 0.0, pltpu.roll(xc, Nxp - 1, 1))
     lap_x = xl + xr - 2.0 * xc
     lap_x = lap_x + jnp.where((cols == 0) | (cols == Nx - 1), xc, 0.0)
 
-    lap_t = prev[:, :] + nxt[:, :] - 2.0 * xc
+    lap_t = prev[c, :] + nxt[c, :] - 2.0 * xc
     t_edge = (t == 0) | (t == Nt - 1)
     lap_t = lap_t + jnp.where(t_edge, xc, 0.0)
 
@@ -547,8 +561,14 @@ def cg_operator_pallas_blocked(x: jnp.ndarray, r=1.0,
     BENCHMARKS.md.  Exposed to the solvers as the ``cg-pallas`` stepA
     backend (``foto.stepA_ops``)."""
     Nt, Ny, Nx = x.shape
-    By = _pick_by(Ny)
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    # 8/128-rounded extents: Mosaic's memref_slice (the DMA windows) must
+    # be tile-aligned in BOTH trailing dims; masks below use the real
+    # Ny/Nx and the rounding columns/rows are sliced off the output
+    Ny_eff = -(-Ny // 8) * 8
+    Nx_eff = -(-Nx // 128) * 128
+    By = _pick_by(Ny_eff)
+    H = _HALO_Y
+    xp = jnp.pad(x, ((1, 1), (H, H + (Ny_eff - Ny)), (0, Nx_eff - Nx)))
     # r / reg_epsilon traced via SMEM so the kernel can sit inside the
     # jitted ALG2 loop, where both arrive as tracers (same contract as
     # dct.solve_stepA_dct)
@@ -556,18 +576,18 @@ def cg_operator_pallas_blocked(x: jnp.ndarray, r=1.0,
                         jnp.asarray(reg_epsilon, x.dtype)]).reshape(1, 2)
     return _pallas_call(
         functools.partial(_cg_op_blocked_kernel,
-                          Nt=Nt, Ny=Ny, Nx=Nx, By=By),
-        grid=(Nt, Ny // By),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                          Nt=Nt, Ny=Ny, Nx=Nx, Nxp=Nx_eff, By=By),
+        grid=(Nt, Ny_eff // By),
+        out_shape=jax.ShapeDtypeStruct((Nt, Ny_eff, Nx_eff), x.dtype),
         in_specs=[pl.BlockSpec((1, 2), lambda t, yb: (0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, By, Nx), lambda t, yb: (t, yb, 0),
+        out_specs=pl.BlockSpec((1, By, Nx_eff), lambda t, yb: (t, yb, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((By + 2, Nx), x.dtype),
-            pltpu.VMEM((By, Nx), x.dtype),
-            pltpu.VMEM((By, Nx), x.dtype),
+            pltpu.VMEM((By + 2 * H, Nx_eff), x.dtype),
+            pltpu.VMEM((By + 2 * H, Nx_eff), x.dtype),
+            pltpu.VMEM((By + 2 * H, Nx_eff), x.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
-    )(params, xp)
+    )(params, xp)[:, :Ny, :Nx]
