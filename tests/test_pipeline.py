@@ -170,3 +170,56 @@ def test_data_diff_identical_frames(tmp_path):
     d, w, h = img.open_grayscale(str(tmp_path / "d.png"))
     assert np.all(np.isfinite(d))
     assert np.allclose(d, d.ravel()[0])       # uniform gray
+
+
+def test_sinkhorn_tol_parsing():
+    assert pipeline._sinkhorn_tol(["--algo=sinkhorn"]) == 1e-4
+    assert pipeline._sinkhorn_tol(["--sinkhorn-tol=0.01"]) == 0.01
+    # last occurrence wins, like argparse
+    assert pipeline._sinkhorn_tol(["--sinkhorn-tol=0.01",
+                                   "--sinkhorn-tol=1e-6"]) == 1e-6
+
+
+def test_escalation_skips_converged_and_f64(monkeypatch):
+    calls = []
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_f64",
+                        lambda argv: calls.append(argv) or True)
+    # converged: no escalation
+    res = {"marginal_error": 5e-5}
+    pipeline._maybe_escalate_sinkhorn(res, ["--algo=sinkhorn"],
+                                      __import__("pathlib").Path("x"), 1.0)
+    assert not calls and "escalated_f64" not in res
+    # already f64: no escalation even above tol
+    res = {"marginal_error": 0.1}
+    pipeline._maybe_escalate_sinkhorn(
+        res, ["--algo=sinkhorn", "--precision=f64"],
+        __import__("pathlib").Path("x"), 1.0)
+    assert not calls and "escalated_f64" not in res
+
+
+def test_escalation_triggers_above_tol(monkeypatch, tmp_path):
+    stats = tmp_path / "s.jsonl"
+    stats.write_text(json.dumps({"event": "solve",
+                                 "marginal_error": 7e-5,
+                                 "iterations": 333}) + "\n")
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_f64",
+                        lambda argv: True)
+    res = {"marginal_error": 0.05, "wall_s": 1.0}
+    pipeline._maybe_escalate_sinkhorn(res, ["--algo=sinkhorn"], stats, 1.0)
+    assert res["escalated_f64"] is True
+    assert res["marginal_error_f32"] == 0.05
+    assert res["marginal_error"] == 7e-5      # re-folded from stats
+    assert res["iterations"] == 333
+
+
+def test_escalation_triggers_on_nan(monkeypatch, tmp_path):
+    """A diverged (NaN) marginal error must escalate too — `me <= tol`
+    is False for NaN by IEEE semantics."""
+    stats = tmp_path / "s.jsonl"
+    stats.write_text(json.dumps({"event": "solve",
+                                 "marginal_error": 9e-5}) + "\n")
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_f64",
+                        lambda argv: True)
+    res = {"marginal_error": float("nan")}
+    pipeline._maybe_escalate_sinkhorn(res, ["--algo=sinkhorn"], stats, 1.0)
+    assert res["escalated_f64"] is True
