@@ -154,12 +154,14 @@ def _batched_wfr_fn(Nt, wp_items):
     @jax.jit
     def run(a, b):
         st = jax.vmap(lambda p, q: wfr.solve_potential(p, q, Nt, **wp))(a, b)
-        u, v, _ = jax.vmap(flow_extract.flow_from_potential)(st.phi)
-        # luminosity slot = the growth field (matches the per-sequence
-        # CLI path — VERDICT.md r3 item 3)
+        u, v, m = jax.vmap(flow_extract.flow_from_potential)(st.phi)
+        # luminosity slot = growth composed with the dilution correction
+        # (matches the per-sequence CLI path — VERDICT.md r3 item 3,
+        # wfr.combined_luminosity)
         delta = wp.get("delta", 10.0)
         g = jax.vmap(lambda s: wfr.growth_from_state(s, delta))(st)
-        return u, v, g, {"iterations": st.iteration, "crit": st.crit}
+        return u, v, wfr.combined_luminosity(m, g), \
+            {"iterations": st.iteration, "crit": st.crit}
     return run
 
 

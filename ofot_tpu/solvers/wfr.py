@@ -250,6 +250,23 @@ def solve(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
                      source=state.mu[3] / delta, state=state)
 
 
+def combined_luminosity(m_div: jnp.ndarray, growth: jnp.ndarray) -> jnp.ndarray:
+    """The WFR benchmark luminosity field: multiplicative composition of
+    the advective dilution correction ``1 + m_div`` (m_div = -div(u, v),
+    the reference's FOTO convention — intensity thins where the flow
+    diverges) and the source growth multiplier ``1 + g``:
+
+        1 + m  =  (1 + g) * (1 + m_div).
+
+    Measured (round-4 m-variant study, RESULTS.md): the composition beats
+    either field alone on BOTH regimes — clean mb1 (Diverge IE 4.17 vs
+    6.26 div-only / 10.59 growth-only) and illumination-augmented -lum
+    (RotZoom 16.98 vs 35.62 / 21.80) — because divergence dilution and
+    source growth are independent physical effects the reconstruction
+    must compose."""
+    return (1.0 + growth) * (1.0 + m_div) - 1.0
+
+
 def growth_from_state(state: foto.FotoState, delta) -> jnp.ndarray:
     """(Ny, Nx) integrated multiplicative brightness change - 1: the
     luminosity field the source term explains — WFR's answer to the
