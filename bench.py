@@ -56,7 +56,9 @@ def main() -> int:
                         "dispatch latency (~20 ms through this "
                         "environment's TPU tunnel) amortizes exactly as "
                         "it does in production")
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=5,
+                   help="best-of-N wall timing; 5 (VERDICT r3 item 2 — "
+                        "3 was too noisy through the tunnel)")
     p.add_argument("--platform", help="force JAX platform")
     p.add_argument("--cg-rtol", type=float, default=1e-6)
     p.add_argument("--cg-maxiter", type=int, default=1000)
