@@ -302,8 +302,12 @@ def _escalate_sinkhorn_f64(argv: list) -> bool:
     argparse last-wins, so appending the overrides is enough."""
     cmd = [sys.executable, "-m", "ofot_tpu.cli.main", *map(str, argv),
            "--precision=f64", "--platform=cpu"]
-    r = subprocess.run(cmd, cwd=str(Path(__file__).resolve().parents[2]),
-                       capture_output=True, text=True)
+    # inherit the caller's cwd (argv may hold relative data/results paths)
+    # and make the package importable via PYTHONPATH instead
+    env = dict(os.environ)
+    pkg_root = str(Path(__file__).resolve().parents[2])
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     if r.returncode != 0:
         print(f"note: f64 escalation failed (rc={r.returncode}): "
               f"{r.stderr.strip().splitlines()[-1] if r.stderr else ''}",
