@@ -193,7 +193,11 @@ def main() -> int:
     # phases where the raw wall rate swings by 3x (VERDICT.md r3 weak #1).
     # The 5x spread keeps the +-tens-of-ms wall noise below ~0.05 ms/iter
     # in the estimate (a 2x spread drowned in it).
-    best5, _, _, comp5 = time_run(make_run(primary, iters=5 * iters))
+    # the subtraction already cancels the dispatch constant, so the long
+    # arm needs fewer repeats — keeps the 5x program from dominating the
+    # bench's device time (review, round 4)
+    args.repeats = max(2, args.repeats // 2)
+    best5, _, _, _ = time_run(make_run(primary, iters=5 * iters))
     marginal_ms = (best5 - best) / (4 * iters) * 1e3
     print(f"[{args.ops}] 5x-iters best {best5:.3f}s -> marginal "
           f"{marginal_ms:.3f} ms/iter (device-time estimate; raw "

@@ -271,6 +271,21 @@ def _sinkhorn_tol(argv: list) -> float:
     return tol
 
 
+def _argv_precision(argv: list) -> str | None:
+    """Last-wins --precision value from an argv, accepting both the
+    '--precision=f64' and the space-separated '--precision f64' forms
+    (argparse takes either; a token-equality test missed the latter —
+    review, round 4)."""
+    toks = [str(t) for t in argv]
+    val = None
+    for i, t in enumerate(toks):
+        if t.startswith("--precision="):
+            val = t.split("=", 1)[1]
+        elif t == "--precision" and i + 1 < len(toks):
+            val = toks[i + 1]
+    return val
+
+
 def _fold_stats(res: dict, stats_path: Path) -> None:
     """Fold the solver's own diagnostics (iterations, crit, W2, ...) into
     the manifest entry, matching the batched path's per-sequence diag."""
@@ -320,7 +335,7 @@ def _maybe_escalate_sinkhorn(res: dict, argv: list, stats_path: Path,
     """If the folded diagnostics show a marginal error above tolerance
     (or NaN) and the solve was not already f64, escalate and re-fold."""
     me = res.get("marginal_error")
-    if me is None or "--precision=f64" in argv:
+    if me is None or _argv_precision(argv) == "f64":
         return
     tol = _sinkhorn_tol(argv)
     if me <= tol:
@@ -666,7 +681,6 @@ def cmd_run_batch(args) -> int:
                     img.save_grayscale((m[i] + 1) / 2, f"{pre}.lum.png")
                     color_flow(Path(f"{pre}.flo"), Path(f"{pre}.png"),
                                gt[0] if gt is not None else None)
-                    (out_dir / f".out.{algo.lower()}.sucess").touch()
                     entry = manifest.setdefault(f"{ds_name}/{key}", {})
                     entry[algo] = {"algo": algo, "status": "ok",
                                    "wall_s": wall / n, "batched": True,
@@ -677,11 +691,13 @@ def cmd_run_batch(args) -> int:
                         dv = np.asarray(dv)
                         entry[algo][dk] = (
                             float(dv[i]) if dv.ndim else float(dv))
-                    if algo == "sinkhorn":
+                    if algo == "sinkhorn" and precision != "f64":
                         # f32-floor escalation, batch form: the flagged
                         # sequence re-solves at f64 on CPU via the CLI
                         # (same remedy as the per-sequence path; see
-                        # _escalate_sinkhorn_f64)
+                        # _escalate_sinkhorn_f64).  Skipped when the whole
+                        # batch already ran f64 (jax_enable_x64 above) —
+                        # a re-solve would reproduce the same result
                         sp = sinkhorn_params
                         esc = [f"--sinkhorn-epsilon={sp['epsilon']}",
                                f"--sinkhorn-tol={sp['tol']}",
@@ -698,6 +714,11 @@ def cmd_run_batch(args) -> int:
                         if entry[algo].get("escalated_f64"):
                             color_flow(Path(f"{pre}.flo"), Path(f"{pre}.png"),
                                        gt[0] if gt is not None else None)
+                    # resume flag only after any escalation completed: a
+                    # flag touched before it would mark an interrupted
+                    # escalation's biased f32 flow as done forever
+                    # (review, round 4)
+                    (out_dir / f".out.{algo.lower()}.sucess").touch()
                 manifest_path.write_text(json.dumps(manifest, indent=1))
     return 0
 

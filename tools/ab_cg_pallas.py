@@ -3,7 +3,7 @@
 VERDICT.md r3 item 5: does the DMA-halo blocked kernel (a) compile on
 the real Mosaic backend (the whole-array concat form did not) and
 (b) beat the XLA stencil?  Chain marginals at two lengths remove the
-per-call dispatch constant.
+per-call dispatch constant (see tools/_abutil.py).
 
     python tools/ab_cg_pallas.py [--shape prod|hd]
 """
@@ -13,11 +13,13 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _abutil import chain, timed
 
 
 def main() -> int:
@@ -34,7 +36,6 @@ def main() -> int:
     from ofot_tpu.utils.compile_cache import enable as enable_cache
     enable_cache()
     import jax.numpy as jnp
-    from jax import lax
     from ofot_tpu.ops import operators
     from ofot_tpu.ops.pallas import kernels
 
@@ -49,41 +50,24 @@ def main() -> int:
     def op_xla(x, r, eps):
         return -r * operators.laplacian_st(x, bc="N") + (r * eps) * x
 
-    def chain(op, n):
-        def run(x):
-            def body(_, y):
-                z = op(y, 1.0, 1e-2)
-                return z / jnp.max(jnp.abs(z))
-            return lax.fori_loop(0, n, body, x)
-        return jax.jit(run)
+    # correctness probe on-chip first — ONE jitted program returning the
+    # scalar error (an eager stencil + compare costs ~10 min of tunnel
+    # round-trips; .claude/skills/verify/SKILL.md round-4 note)
+    @jax.jit
+    def probe(x):
+        return jnp.abs(op_xla(x, 1.0, 1e-2)
+                       - kernels.cg_operator_pallas_blocked(x, 1.0, 1e-2)
+                       ).max()
+    print(f"on-chip max err vs XLA: {float(probe(x0)):.3e}",
+          file=sys.stderr)
 
-    def timed(name, fn, *a):
-        t0 = time.time()
-        out = fn(*a)
-        probe = float(jnp.asarray(out).ravel()[0])
-        comp = time.time() - t0
-        best = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.time()
-            out = fn(*a)
-            float(jnp.asarray(out).ravel()[0])
-            best = min(best, time.time() - t0)
-        print(f"[{name:>16}] compile {comp:6.1f}s  best {best*1e3:8.2f} ms"
-              f"  probe={probe:.3e}", file=sys.stderr)
-        return best
-
-    # correctness probe on-chip first (cheap)
-    a = op_xla(x0, 1.0, 1e-2)
-    b = kernels.cg_operator_pallas_blocked(x0, 1.0, 1e-2)
-    err = float(jnp.abs(a - b).max())
-    print(f"on-chip max err vs XLA: {err:.3e}", file=sys.stderr)
-
-    t_x1 = timed("spmv xla", chain(op_xla, iters), x0)
-    t_x5 = timed("spmv xla 5x", chain(op_xla, 5 * iters), x0)
+    rep = args.repeats
+    t_x1 = timed("spmv xla", chain(op_xla, iters), x0, repeats=rep)
+    t_x5 = timed("spmv xla 5x", chain(op_xla, 5 * iters), x0, repeats=rep)
     t_p1 = timed("spmv pallas", chain(kernels.cg_operator_pallas_blocked,
-                                      iters), x0)
+                                      iters), x0, repeats=rep)
     t_p5 = timed("spmv pallas 5x", chain(kernels.cg_operator_pallas_blocked,
-                                         5 * iters), x0)
+                                         5 * iters), x0, repeats=rep)
     mx = (t_x5 - t_x1) / (4 * iters) * 1e3
     mp = (t_p5 - t_p1) / (4 * iters) * 1e3
     gb = Nt * Ny * Nx * 4 * 2 / 1e9    # read + write per apply

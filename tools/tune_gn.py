@@ -49,7 +49,11 @@ def main() -> int:
 
     root = os.path.join(args.data_root, args.dataset)
     seq_root = os.path.join(root, "other-data-gray")
-    names, f1s, f2s, gts = [], [], [], []
+    # group by resolution: real Middlebury mixes sequence sizes, and a
+    # flat np.stack would crash on the first mismatch (review, round 4) —
+    # same strategy as the batched sweep's group_by_shape
+    by_shape: dict = {}
+    names = []
     for name in sorted(os.listdir(seq_root)):
         gt = os.path.join(root, "other-gt-flow", name, "flow10.flo")
         if not os.path.isfile(gt):
@@ -60,47 +64,61 @@ def main() -> int:
             os.path.join(seq_root, name, "frame11.png"))
         _, _, uGT, vGT = flo.read_flo(gt)
         names.append(name)
-        f1s.append(f1.reshape(h, w))
-        f2s.append(f2.reshape(h, w))
-        gts.append(np.stack([uGT.reshape(h, w), vGT.reshape(h, w)]))
+        by_shape.setdefault((h, w), []).append(
+            (name, f1.reshape(h, w), f2.reshape(h, w),
+             np.stack([uGT.reshape(h, w), vGT.reshape(h, w)])))
     if not names:
         print("no ground-truth sequences found", file=sys.stderr)
         return 1
-    f1s = jnp.asarray(np.stack(f1s))
-    f2s = jnp.asarray(np.stack(f2s))
-    gts = jnp.asarray(np.stack(gts))
-    # unknown-flow pixels (sentinel >= 1e9) are excluded from the loss
-    valid = jnp.all(jnp.abs(gts) < 1e9, axis=1)
-    print(f"{len(names)} sequences: {', '.join(names)}", file=sys.stderr)
+    groups = []
+    for (h, w), items in sorted(by_shape.items()):
+        gts = jnp.asarray(np.stack([g for _, _, _, g in items]))
+        groups.append(dict(
+            names=[n for n, _, _, _ in items], h=h, w=w,
+            f1s=jnp.asarray(np.stack([a for _, a, _, _ in items])),
+            f2s=jnp.asarray(np.stack([b for _, _, b, _ in items])),
+            gts=gts,
+            # unknown-flow pixels (sentinel >= 1e9) excluded from the loss
+            valid=jnp.all(jnp.abs(gts) < 1e9, axis=1)))
+    print(f"{len(names)} sequences in {len(groups)} shape group(s): "
+          f"{', '.join(names)}", file=sys.stderr)
 
     solve = jax.vmap(lambda a, b, al, lm: gn_solve_implicit(
         a, b, al, lm, rtol=1e-8, maxiter=4000), in_axes=(0, 0, None, None))
 
     def smooth_epe(theta):
         """Differentiable surrogate of the EE benchmark metric: mean
-        sqrt(|flow - gt|^2 + eps) over valid pixels (the benchmark's
-        outlier drop is non-differentiable; outliers this size do not
-        occur on these pairs)."""
+        sqrt(|flow - gt|^2 + eps) over valid pixels across all shape
+        groups (the benchmark's outlier drop is non-differentiable;
+        outliers this size do not occur on these pairs)."""
         log_alpha, log_lambda = theta
-        x = solve(f1s, f2s, jnp.exp(log_alpha), jnp.exp(log_lambda))
-        d2 = (x[:, 0] - gts[:, 0]) ** 2 + (x[:, 1] - gts[:, 1]) ** 2
-        epe = jnp.sqrt(d2 + 1e-12)
-        return jnp.sum(jnp.where(valid, epe, 0.0)) / jnp.sum(valid)
+        tot = cnt = 0.0
+        for g in groups:
+            x = solve(g["f1s"], g["f2s"],
+                      jnp.exp(log_alpha), jnp.exp(log_lambda))
+            d2 = ((x[:, 0] - g["gts"][:, 0]) ** 2
+                  + (x[:, 1] - g["gts"][:, 1]) ** 2)
+            epe = jnp.sqrt(d2 + 1e-12)
+            tot = tot + jnp.sum(jnp.where(g["valid"], epe, 0.0))
+            cnt = cnt + jnp.sum(g["valid"])
+        return tot / cnt
 
     loss_grad = jax.jit(jax.value_and_grad(smooth_epe))
 
     def benchmark_ee(alpha, lambda_):
-        """The real (outlier-dropping) EE metric, per sequence + mean."""
-        x = np.asarray(solve(f1s, f2s, jnp.asarray(alpha),
-                             jnp.asarray(lambda_)))
-        ees = []
-        for i in range(len(names)):
-            h, w = f1s.shape[1:]
-            ee, _ = metrics.EE(w, h, x[i, 0].ravel(), x[i, 1].ravel(),
-                               np.asarray(gts[i, 0]).ravel(),
-                               np.asarray(gts[i, 1]).ravel())
-            ees.append(ee)
-        return ees
+        """The real (outlier-dropping) EE metric, per sequence + mean,
+        in the global `names` order."""
+        ees = {}
+        for g in groups:
+            x = np.asarray(solve(g["f1s"], g["f2s"], jnp.asarray(alpha),
+                                 jnp.asarray(lambda_)))
+            for i, n in enumerate(g["names"]):
+                ee, _ = metrics.EE(g["w"], g["h"], x[i, 0].ravel(),
+                                   x[i, 1].ravel(),
+                                   np.asarray(g["gts"][i, 0]).ravel(),
+                                   np.asarray(g["gts"][i, 1]).ravel())
+                ees[n] = ee
+        return [ees[n] for n in names]
 
     theta = jnp.asarray([np.log(0.1), np.log(0.2)])   # reference defaults
     opt = optax.adam(args.lr)
