@@ -172,3 +172,21 @@ def test_parity_vs_reference_cli(frames, tmp_path, algo_args):
     _, _, u2, v2 = flo.read_flo(str(ref_flo))
     aepe = np.sqrt((u1 - u2) ** 2 + (v1 - v2) ** 2).mean()
     assert aepe < 0.01, aepe
+
+
+@pytest.mark.parametrize("solver", ["dct-fused", "cg-pallas"])
+def test_experimental_stepA_backends_match_dct(frames, tmp_path, solver):
+    """The round-4 experimental backends (--stepA-solver=dct-fused /
+    cg-pallas) produce the same flow as the spectral default through the
+    full CLI path (CPU interpret mode for the Pallas kernels)."""
+    for name, flags in (("ref", ["--stepA-solver=dct"]),
+                        ("exp", [f"--stepA-solver={solver}"])):
+        rc = _run(frames, tmp_path, "--algo=foto", "--Nt=4",
+                  "--max-it=8", "--convergence-tol=0.0",
+                  "--reg-epsilon=1e-2",
+                  f"--out={tmp_path}/{name}.flo", *flags)
+        assert rc == 0
+    _, _, u1, v1 = flo.read_flo(f"{tmp_path}/ref.flo")
+    _, _, u2, v2 = flo.read_flo(f"{tmp_path}/exp.flo")
+    aepe = float(np.sqrt((u1 - u2) ** 2 + (v1 - v2) ** 2).mean())
+    assert aepe < 1e-3, aepe
