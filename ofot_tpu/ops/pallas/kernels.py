@@ -222,12 +222,18 @@ def project_paraboloid_pallas(p: jnp.ndarray) -> jnp.ndarray:
 # ------------------------------------------- fused stepB+stepC+criterion
 
 def _fused_pointwise_kernel(r_ref, gphi_ref, mu_ref, q_ref, mu_out_ref,
-                            acc_num_ref, acc_den_ref):
-    """One VMEM pass per chunk: stepB projection of grad_phi + mu/r,
-    stepC dual update mu += r*(grad_phi - q) with density clamp, and the
-    Hamilton–Jacobi criterion partial sums (reference
-    benamou_brenier.py:214, 229-232, 246-251) — reads grad_phi/mu once and
-    writes q/mu once instead of XLA's two separate fusion passes.
+                            acc_num_ref, acc_den_ref, *, qprev_ref=None):
+    """One VMEM pass per chunk: stepB projection of the (optionally
+    over-relaxed) field + mu/r, stepC dual update with density clamp, and
+    the Hamilton–Jacobi criterion partial sums (reference
+    benamou_brenier.py:214, 229-232, 246-251) — reads grad_phi/mu once
+    and writes q/mu once instead of XLA's two separate fusion passes.
+
+    ``qprev_ref`` (present iff admm_alpha != 1, r_ref holds [r, alpha]):
+    stepB/stepC act on ``alpha*grad_phi + (1-alpha)*q_prev`` while the
+    criterion keeps the TRUE grad_phi (matching foto.alg2_iteration's
+    over-relaxed branch) — this is what lets the fused pass serve the
+    production admm_alpha=1.7 default at large grids (round 4).
 
     Component count comes from the block shape: 1+2 betas is the balanced
     solver, 1+3 the WFR/unbalanced one (the extra beta is the scaled
@@ -240,16 +246,24 @@ def _fused_pointwise_kernel(r_ref, gphi_ref, mu_ref, q_ref, mu_out_ref,
     m0 = mu_ref[0]
     mb = [mu_ref[i] for i in range(1, k + 1)]
 
-    q0, qb = _project_point_nd(g0 + m0 / r,
-                               [g + m / r for g, m in zip(gb, mb)])
+    if qprev_ref is None:
+        x0, xb = g0, gb
+    else:
+        alpha = r_ref[0, 1]
+        x0 = alpha * g0 + (1.0 - alpha) * qprev_ref[0]
+        xb = [alpha * g + (1.0 - alpha) * qprev_ref[i + 1]
+              for i, g in enumerate(gb)]
+
+    q0, qb = _project_point_nd(x0 + m0 / r,
+                               [x + m / r for x, m in zip(xb, mb)])
     q_ref[0] = q0
     for i, q in enumerate(qb):
         q_ref[i + 1] = q
 
-    n0 = jnp.maximum(m0 + r * (g0 - q0), 0.0)   # density clamped >= 0
+    n0 = jnp.maximum(m0 + r * (x0 - q0), 0.0)   # density clamped >= 0
     mu_out_ref[0] = n0
-    for i, (m, g, q) in enumerate(zip(mb, gb, qb)):
-        mu_out_ref[i + 1] = m + r * (g - q)
+    for i, (m, x, q) in enumerate(zip(mb, xb, qb)):
+        mu_out_ref[i + 1] = m + r * (x - q)
 
     # criterion partials over this chunk, reduced to one (rows, 128) tile;
     # the TPU grid is a sequential loop, so accumulate across chunks
@@ -271,7 +285,8 @@ def _fused_pointwise_kernel(r_ref, gphi_ref, mu_ref, q_ref, mu_out_ref,
 
 
 @jax.jit
-def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
+def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r,
+                           alpha=None, q_prev: jnp.ndarray | None = None):
     """Fused stepB + stepC + HJ-criterion partials.
 
     ``grad_phi``, ``mu``: (1+k, Nt, Ny, Nx) with k = 2 (balanced) or 3
@@ -279,21 +294,42 @@ def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
     scalar criterion sums such that ``crit = sqrt(num / (denom + 1e-10))``.
     Zero padding is exact: padded points project to themselves (0 is
     inside K), update to 0, and contribute 0 to both sums.
+
+    ``alpha``/``q_prev`` (both or neither): over-relaxed ADMM — stepB and
+    stepC act on ``alpha*grad_phi + (1-alpha)*q_prev``, the criterion on
+    the true grad_phi.  Costs one extra field read per chunk; padded
+    q_prev points are 0, so padding stays exact.
     """
     shape = grad_phi.shape
     ncomp = shape[0]
     L = 1
     for d in shape[1:]:
         L *= d
-    (g3, m3), cols, n_chunks, pad = _chunk3([grad_phi, mu], L)
-    r_arr = jnp.asarray(r, grad_phi.dtype).reshape(1, 1)
+    relaxed = q_prev is not None
+    arrs = [grad_phi, mu] + ([q_prev] if relaxed else [])
+    chunked, cols, n_chunks, pad = _chunk3(arrs, L)
+    if relaxed:
+        if alpha is None:
+            raise ValueError("q_prev given without alpha")
+        params = jnp.stack([jnp.asarray(r, grad_phi.dtype),
+                            jnp.asarray(alpha, grad_phi.dtype)]).reshape(1, 2)
+        kernel = lambda p, g, m, qp, q, n, an, ad: \
+            _fused_pointwise_kernel(p, g, m, q, n, an, ad, qprev_ref=qp)
+        p_spec = pl.BlockSpec((1, 2), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        params = jnp.asarray(r, grad_phi.dtype).reshape(1, 1)
+        kernel = _fused_pointwise_kernel
+        p_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
 
     block = pl.BlockSpec((ncomp, _PROJ_ROWS, cols), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((_PROJ_ROWS, 128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    g3 = chunked[0]
     q3, n3, num, den = _pallas_call(
-        _fused_pointwise_kernel,
+        kernel,
         grid=(n_chunks,),
         out_shape=(
             jax.ShapeDtypeStruct(g3.shape, grad_phi.dtype),
@@ -301,11 +337,9 @@ def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r):
             jax.ShapeDtypeStruct((_PROJ_ROWS, 128), grad_phi.dtype),
             jax.ShapeDtypeStruct((_PROJ_ROWS, 128), grad_phi.dtype),
         ),
-        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  block, block],
+        in_specs=[p_spec] + [block] * len(chunked),
         out_specs=(block, block, acc_spec, acc_spec),
-    )(r_arr, g3, m3)
+    )(params, *chunked)
 
     q = _unchunk3(q3, shape, L, pad)
     mu_new = _unchunk3(n3, shape, L, pad)

@@ -165,9 +165,10 @@ class PallasOps(DCTOps):
     project_nd = project
 
     @staticmethod
-    def fused_pointwise(grad_phi, mu, r):
+    def fused_pointwise(grad_phi, mu, r, alpha=None, q_prev=None):
         from ofot_tpu.ops.pallas import kernels
-        return kernels.fused_pointwise_pallas(grad_phi, mu, r)
+        return kernels.fused_pointwise_pallas(grad_phi, mu, r,
+                                              alpha=alpha, q_prev=q_prev)
 
 
 class PallasCGOps(_DefaultOps):
@@ -194,16 +195,19 @@ def resolve_stepA_solver(solver: str, platform: str, npts: int) -> str:
     """Resolve the user-facing stepA solver name (shared by the CLI and the
     batched sweep so both always pick the same backend for the same grid).
 
-    ``auto``: reference-faithful CG on cpu/gpu; on TPU the fused Pallas
-    pointwise pass for large grids, plain spectral for small ones —
-    measured crossover on v5e (BENCHMARKS.md): pallas wins at 1080p
-    (16.9 vs 18.1 ms/iter) but loses at 320x240 (0.73 vs 0.68), split at
-    ~4M space-time points.
+    ``auto``: reference-faithful CG on cpu/gpu; plain spectral (dct) on
+    TPU at every size.  History: round 2 measured the fused Pallas
+    pointwise pass ('pallas') ahead at 1080p (16.9 vs 18.1 ms/iter) and
+    auto picked it above ~4M points; the round-4 re-measure shows XLA's
+    own pointwise fusion has caught up — dct 15.15 / pallas 15.16 at
+    1080p, dct 87.1 / pallas 89.2 at 4K (BENCHMARKS.md) — so auto now
+    prefers the simpler XLA path everywhere and 'pallas' remains a
+    selectable backend.
     """
     if solver == "auto":
         if platform in ("cpu", "gpu"):
             return "cg"
-        return "pallas" if npts >= (1 << 22) else "dct"
+        return "dct"
     return solver
 
 
@@ -299,10 +303,14 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                admm_alpha * grad_phi + (1.0 - admm_alpha) * q_prev)
     fused = getattr(ops, "fused_pointwise", None)
     if fused is not None and admm_alpha == 1.0:
-        # stepB + stepC + criterion partials in one VMEM pass (the kernel
-        # derives the HJ criterion from its first argument, which must be
-        # the true grad_phi — hence alpha=1 only)
+        # stepB + stepC + criterion partials in one VMEM pass
         q, mu, num, denom = fused(grad_phi, mu, r)
+    elif fused is not None:
+        # over-relaxed form: the kernel builds alpha*grad_phi +
+        # (1-alpha)*q_prev internally and keeps the criterion on the true
+        # grad_phi — so the production admm_alpha=1.7 default retains the
+        # fused pass at large grids (round 4)
+        q, mu, num, denom = fused(grad_phi, mu, r, admm_alpha, q_prev)
     else:
         q = ops.project(relaxed + mu / r)
 

@@ -74,13 +74,11 @@ def resolve_stepA_solver(solver: str, platform: str, npts: int) -> str:
     """WFR counterpart of :func:`foto.resolve_stepA_solver`.
 
     ``auto`` has no CG-faithfulness constraint here (WFR is net-new, no
-    reference twin): exact spectral everywhere, upgraded to the fused
-    Pallas pointwise pass on TPU for large grids (same ~4M-point
-    crossover as the balanced solver, BENCHMARKS.md)."""
+    reference twin): exact spectral everywhere.  The fused Pallas
+    pointwise pass stopped paying at any size in the round-4 re-measure
+    (see foto.resolve_stepA_solver) — 'pallas' stays selectable."""
     if solver == "auto":
-        if platform in ("cpu", "gpu"):
-            return "dct"
-        return "pallas" if npts >= (1 << 22) else "dct"
+        return "dct"
     return solver
 
 
@@ -153,6 +151,9 @@ def alg2_iteration(state: foto.FotoState, rho0, rhoT, *, r, delta,
         # reads the component count (4) from the arrays and its speed^2
         # already spans all beta components including the source dual
         q, mu, num, denom = fused(gphi, mu, r)
+    elif fused is not None:
+        # over-relaxed fused form (see foto.alg2_iteration)
+        q, mu, num, denom = fused(gphi, mu, r, admm_alpha, q_prev)
     else:
         q = ops.project_nd(relaxed + mu / r)
         mu = mu + r * (relaxed - q)

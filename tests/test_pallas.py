@@ -155,3 +155,22 @@ def test_cg_pallas_ops_alg2_matches_default():
     np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
                                atol=5e-3)
     assert abs(float(a.crit) - float(b.crit)) < 1e-3
+
+
+@pytest.mark.parametrize("alpha", [1.3, 1.7])
+def test_fused_pointwise_over_relaxed_matches_xla(alpha):
+    """The relaxed fused kernel (alpha*grad_phi + (1-alpha)*q_prev inside,
+    criterion on the true grad_phi) tracks the unfused XLA path for both
+    the balanced (3) and source-extended (4) component counts."""
+    from ofot_tpu.solvers import foto, wfr
+    from tests.fixtures import smooth_blob_pair
+
+    f1, f2 = smooth_blob_pair(20, 28, dtype=np.float32)
+    a, b = jnp.asarray(f1), jnp.asarray(f2)
+    for mod, extra in ((foto, {}), (wfr, {"delta": 8.0})):
+        kw = dict(r=1.0, reg_epsilon=1e-2, convergence_tol=0.0, max_it=6,
+                  admm_alpha=alpha, **extra)
+        x = mod.solve_potential(a, b, 4, ops=foto.DCT_OPS, **kw)
+        y = mod.solve_potential(a, b, 4, ops=foto.PALLAS_OPS, **kw)
+        assert float(jnp.abs(x.phi - y.phi).max()) < 1e-4
+        assert abs(float(x.crit) - float(y.crit)) < 1e-4
