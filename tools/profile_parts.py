@@ -1,5 +1,15 @@
 """Per-part on-device timing of one ALG2 iteration's components.
 
+CAVEAT (round 4 — read before trusting these numbers): a single-length
+fori_loop wall still contains the ~25 ms per-call dispatch constant
+(0.125 ms/rep of pure inflation at 200 reps), which is how round 3
+mis-read stepA as "2.4x off its roofline" (it was AT the roofline).
+For absolute per-apply device time use the chain-marginal method
+(tools/_abutil.py: time N and 5N reps, marginal = (t_5N - t_N)/4N);
+this tool's single-length numbers are only comparable to EACH OTHER at
+the same rep count.  Parts can also exceed the whole: XLA cross-fuses
+them inside the full iteration.
+
 Times each component in its own fori_loop (N reps amortize the tunnel
 dispatch; only a scalar probe is fetched), at a chosen shape:
 
