@@ -223,3 +223,35 @@ def test_escalation_triggers_on_nan(monkeypatch, tmp_path):
     res = {"marginal_error": float("nan")}
     pipeline._maybe_escalate_sinkhorn(res, ["--algo=sinkhorn"], stats, 1.0)
     assert res["escalated_f64"] is True
+
+
+def test_batch_interrupted_escalation_not_marked_done(tmp_path, monkeypatch):
+    """If the f64 escalation is interrupted mid-run (killed subprocess /
+    Ctrl-C), the .sucess resume flag must NOT exist — a flag touched
+    before escalation would permanently ship the biased f32 flow
+    (review, round 4).  A re-run must then redo the sequence."""
+    _mk_mb1(tmp_path / "data")
+
+    class _Boom(BaseException):
+        pass
+
+    def boom(res, argv, stats_path, wall0):
+        raise _Boom()
+
+    monkeypatch.setattr(pipeline, "_maybe_escalate_sinkhorn", boom)
+    args = ["run", "--batch", "--data-root", str(tmp_path / "data"),
+            "--results", str(tmp_path / "results"),
+            "--datasets", "middlebury-1", "--algos", "sinkhorn",
+            "--platform=cpu",
+            "--extra-args", "--max-it=10 --sinkhorn-epsilon=8"]
+    with pytest.raises(_Boom):
+        pipeline.main(args)
+    seq = tmp_path / "results" / "middlebury-1" / "seq0"
+    assert not (seq / ".out.sinkhorn.sucess").exists()
+
+    # with escalation restored (no-op: below-tol short-circuit bypassed by
+    # returning directly), the re-run completes and flags the sequence
+    monkeypatch.setattr(pipeline, "_maybe_escalate_sinkhorn",
+                        lambda res, argv, stats_path, wall0: None)
+    assert pipeline.main(args) == 0
+    assert (seq / ".out.sinkhorn.sucess").exists()
