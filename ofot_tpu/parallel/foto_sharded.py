@@ -34,8 +34,9 @@ def _state_specs(spec_field3, spec_field1):
 
 def solve_potential_tiled(rho0, rhoT, Nt: int, mesh: Mesh, *,
                           r=1.0, convergence_tol=0.3, reg_epsilon=1e-3,
-                          max_it=100, cg_rtol=1e-6,
-                          cg_maxiter=1000) -> foto.FotoState:
+                          max_it=100, cg_rtol=1e-6, cg_maxiter=1000,
+                          admm_alpha=1.0,
+                          auto_r=False) -> foto.FotoState:
     """ALG2 with (y, x) spatial tiling via shard_map + ppermute halos.
 
     ``rho0``/``rhoT`` are full (Ny, Nx) frames; Ny, Nx must divide by the
@@ -49,13 +50,13 @@ def solve_potential_tiled(rho0, rhoT, Nt: int, mesh: Mesh, *,
         raise ValueError("local tiles must be >= 2 pixels per sharded axis")
 
     fn = _tiled_fn(mesh, Nt, r, convergence_tol, reg_epsilon, max_it,
-                   cg_rtol, cg_maxiter)
+                   cg_rtol, cg_maxiter, admm_alpha, auto_r)
     return fn(rho0, rhoT)
 
 
 @lru_cache(maxsize=64)
 def _tiled_fn(mesh, Nt, r, convergence_tol, reg_epsilon, max_it,
-              cg_rtol, cg_maxiter):
+              cg_rtol, cg_maxiter, admm_alpha=1.0, auto_r=False):
     """Jitted shard_map wrapper, cached per (mesh, params): jax.jit keys on
     callable identity, so rebuilding the wrapper per call would recompile
     the full ALG2 while_loop on every invocation (remote TPU compiles run
@@ -66,7 +67,7 @@ def _tiled_fn(mesh, Nt, r, convergence_tol, reg_epsilon, max_it,
         partial(foto.alg2_loop, Nt=Nt, r=r,
                 convergence_tol=convergence_tol, reg_epsilon=reg_epsilon,
                 max_it=max_it, cg_rtol=cg_rtol, cg_maxiter=cg_maxiter,
-                ops=sops),
+                ops=sops, admm_alpha=admm_alpha, auto_r=auto_r),
         mesh=mesh,
         in_specs=(P("y", "x"), P("y", "x")),
         out_specs=_state_specs(P(None, None, "y", "x"), P(None, "y", "x")),

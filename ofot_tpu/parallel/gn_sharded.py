@@ -74,12 +74,9 @@ def _gn_tile_solve(f1, f2, alpha, lambda_, rtol, maxiter,
 
     ld = _lap_diag_tile(f2.shape, sops, f2.dtype)
     d = jnp.stack([alpha * ld, alpha * ld, lambda_ * ld])
-    dinv = 1.0 / d
-    denom = 1.0 + jnp.sum(g * g * dinv, axis=0)
-
-    def M(rhs):
-        t = jnp.sum(g * dinv * rhs, axis=0)
-        return dinv * rhs - dinv * g * (t / denom)[None]
+    # pointwise, so the shared helper works unchanged on shard_map tiles
+    # (review, round 4 — was an inline duplicate)
+    M = gn.make_jacobi_block_preconditioner(g, d)
 
     b = jnp.stack([-fx * ft, -fy * ft, f2 * ft])
     res = cg(A, b, rtol=rtol, maxiter=maxiter, M=M,

@@ -170,6 +170,14 @@ class ShardedOps:
         axes = self.axes
         return lax.psum(local, axes) if axes else local
 
+    def max(self, x):
+        """Global max over the full field — ``jnp.max`` alone would be
+        tile-local inside shard_map, which silently gives each device a
+        different ``auto_r`` penalty (review, round 4)."""
+        local = jnp.max(x)
+        axes = self.axes
+        return lax.pmax(local, axes) if axes else local
+
     @staticmethod
     def project(p):
         from ofot_tpu.ops.projection import project_paraboloid

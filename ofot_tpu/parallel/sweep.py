@@ -104,6 +104,9 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
     if algo == "WFR":
         from ofot_tpu.solvers import wfr
         wp = dict(wfr_params or {})
+        # resolve delta ONCE so the solve and the growth extraction can
+        # never drift apart on the default (review, round 4)
+        wp.setdefault("delta", 10.0)
         Nt = wp.pop("Nt", 16)
         solver = wfr.resolve_stepA_solver(
             wp.pop("stepA_solver", "auto"), jax.devices()[0].platform,
@@ -114,6 +117,14 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
 
     if algo == "sinkhorn":
         sp = dict(sinkhorn_params or {})
+        # validate theta while it is still a concrete float — inside the
+        # vmapped jit it is a tracer and the library range check cannot
+        # fire, so a divergent theta would come back as NaN potentials /
+        # an all-zero flow (review, round 4; mirrors sinkhorn.solve)
+        th = sp.get("theta")
+        if th is not None and not 0.0 < float(th) < 2.0:
+            raise ValueError(f"sinkhorn theta={th} outside the "
+                             "convergent range (0, 2)")
         run = _batched_sinkhorn_fn(tuple(sorted(sp.items())))
         return run(f1s, f2s)
 
@@ -157,8 +168,8 @@ def _batched_wfr_fn(Nt, wp_items):
         u, v, m = jax.vmap(flow_extract.flow_from_potential)(st.phi)
         # luminosity slot = growth composed with the dilution correction
         # (matches the per-sequence CLI path — VERDICT.md r3 item 3,
-        # wfr.combined_luminosity)
-        delta = wp.get("delta", 10.0)
+        # wfr.combined_luminosity); delta was setdefault'ed by the caller
+        delta = wp["delta"]
         g = jax.vmap(lambda s: wfr.growth_from_state(s, delta))(st)
         return u, v, wfr.combined_luminosity(m, g), \
             {"iterations": st.iteration, "crit": st.crit}

@@ -28,7 +28,7 @@ from ofot_tpu.solvers import wfr
 def solve_potential_tiled(rho0, rhoT, Nt: int, mesh: Mesh, *,
                           delta=10.0, r=1.0, convergence_tol=0.3,
                           reg_epsilon=1e-3, max_it=100, cg_rtol=1e-6,
-                          cg_maxiter=1000, admm_alpha=1.0):
+                          cg_maxiter=1000, admm_alpha=1.0, auto_r=False):
     """Unbalanced ALG2 with (y, x) spatial tiling via shard_map.
 
     ``rho0``/``rhoT`` are full (Ny, Nx) frames; Ny, Nx must divide by the
@@ -42,13 +42,13 @@ def solve_potential_tiled(rho0, rhoT, Nt: int, mesh: Mesh, *,
         raise ValueError("local tiles must be >= 2 pixels per sharded axis")
 
     fn = _tiled_fn(mesh, Nt, delta, r, convergence_tol, reg_epsilon,
-                   max_it, cg_rtol, cg_maxiter, admm_alpha)
+                   max_it, cg_rtol, cg_maxiter, admm_alpha, auto_r)
     return fn(rho0, rhoT)
 
 
 @lru_cache(maxsize=64)
 def _tiled_fn(mesh, Nt, delta, r, convergence_tol, reg_epsilon, max_it,
-              cg_rtol, cg_maxiter, admm_alpha):
+              cg_rtol, cg_maxiter, admm_alpha, auto_r=False):
     """Jitted shard_map wrapper, cached per (mesh, params) — jax.jit keys
     on callable identity (see foto_sharded._tiled_fn)."""
     py, px = mesh.shape["y"], mesh.shape["x"]
@@ -57,7 +57,7 @@ def _tiled_fn(mesh, Nt, delta, r, convergence_tol, reg_epsilon, max_it,
         partial(wfr.alg2_loop, Nt=Nt, delta=delta, r=r,
                 convergence_tol=convergence_tol, reg_epsilon=reg_epsilon,
                 max_it=max_it, cg_rtol=cg_rtol, cg_maxiter=cg_maxiter,
-                ops=sops, admm_alpha=admm_alpha),
+                ops=sops, admm_alpha=admm_alpha, auto_r=auto_r),
         mesh=mesh,
         in_specs=(P("y", "x"), P("y", "x")),
         out_specs=_state_specs(P(None, None, "y", "x"), P(None, "y", "x")),

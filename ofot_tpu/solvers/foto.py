@@ -45,6 +45,9 @@ class _DefaultOps:
     div_st = staticmethod(operators.div_st)
     laplacian_st = staticmethod(operators.laplacian_st)
     sum = staticmethod(jnp.sum)
+    # global max — ShardedOps overrides with a pmax so data-dependent
+    # scalars (auto_r) agree across tiles under shard_map
+    max = staticmethod(jnp.max)
     project = staticmethod(project_paraboloid)
     # k-beta-component projection for the source-extended (WFR) stepB
     project_nd = staticmethod(project_paraboloid_nd)
@@ -345,7 +348,7 @@ def alg2_iteration(state: FotoState, rho0, rhoT, *, r, reg_epsilon,
                      done=done)
 
 
-def scale_invariant_r(rho0, rhoT, r=1.0):
+def scale_invariant_r(rho0, rhoT, r=1.0, ops=DEFAULT_OPS):
     """ADMM penalty matched to the data scale: ``r * max(rho)``.
 
     The ALG2 iteration is exactly invariant under ``(mu, rho, r) ->
@@ -360,9 +363,12 @@ def scale_invariant_r(rho0, rhoT, r=1.0):
     having moved almost no mass (measured: mass-weighted displacement
     0.03 of a true 4 px at 48x56).  ``r_eff = r * max(rho)`` reproduces
     the peak-1 behavior at ANY input scaling.  Traced (data-dependent),
-    so it works under vmap/shard_map batching.
+    so it works under vmap; under shard_map the max runs through
+    ``ops.max`` (a pmax in ShardedOps) so every tile agrees on the
+    penalty — a plain jnp.max is tile-local there and would silently
+    give each device a different ADMM iteration (review, round 4).
     """
-    return r * jnp.maximum(jnp.max(rho0), jnp.max(rhoT))
+    return r * jnp.maximum(ops.max(rho0), ops.max(rhoT))
 
 
 def alg2_loop(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
@@ -372,7 +378,7 @@ def alg2_loop(rho0, rhoT, Nt, *, r=1.0, convergence_tol=0.3,
               init: FotoState | None = None) -> FotoState:
     """Unjitted ALG2 while_loop — callable directly inside shard_map."""
     if auto_r:
-        r = scale_invariant_r(rho0, rhoT, r)
+        r = scale_invariant_r(rho0, rhoT, r, ops=ops)
     state = init_state(rho0, rhoT, Nt) if init is None else init
 
     def cond(s: FotoState):

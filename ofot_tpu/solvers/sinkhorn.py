@@ -179,7 +179,12 @@ def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
             g = (1.0 - th) * g + th * (lb - softmin(f))
             return f, g
 
-        f, g = lax.fori_loop(0, check_every, one, (c.f, c.g))
+        # final block capped at the remaining budget so max_iter is a
+        # hard ceiling even when it is not a multiple of check_every
+        # (review, round 4: max_iter=30, check_every=25 used to run 50)
+        n = jnp.minimum(jnp.int32(check_every),
+                        jnp.int32(max_iter) - c.it)
+        f, g = lax.fori_loop(0, n, one, (c.f, c.g))
         # BOTH plan marginals: log marg_a = (f + softmin(g)) / eps and,
         # K being symmetric, the same softmin form gives marg_b.  The
         # classical iteration satisfies the b-marginal exactly after its
@@ -190,7 +195,7 @@ def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
         err_a = jnp.sum(jnp.abs(jnp.exp((f + softmin(g)) / eps) - a))
         err_b = jnp.sum(jnp.abs(jnp.exp((g + softmin(f)) / eps) - b))
         err = jnp.maximum(err_a, err_b)
-        return Carry(f, g, err, c.it + check_every)
+        return Carry(f, g, err, c.it + n)
 
     def cond(c: Carry):
         return (c.err > tol) & (c.it < max_iter)
@@ -302,6 +307,13 @@ def solve_annealed(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     Every stage reuses the SAME jitted :func:`solve` executable (eps is
     a traced argument), so the ladder costs one compile total.
     """
+    # ladder-termination guards: anneal_factor <= 1 never decreases e and
+    # epsilon <= 0 is never reached by a geometric ladder — either would
+    # build an unbounded stage list (review, round 4)
+    if not anneal_factor > 1.0:
+        raise ValueError(f"anneal_factor={anneal_factor} must be > 1")
+    if not float(epsilon) > 0.0:
+        raise ValueError(f"epsilon={epsilon} must be > 0")
     Ny, Nx = a.shape
     eps0 = float(anneal_from if anneal_from is not None
                  else (max(Ny, Nx) / 2.0) ** 2)

@@ -192,7 +192,7 @@ def alg2_loop(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
     """Unjitted unbalanced ALG2 while_loop — callable directly inside
     shard_map (see ofot_tpu/parallel/wfr_sharded.py)."""
     if auto_r:
-        r = foto.scale_invariant_r(rho0, rhoT, r)
+        r = foto.scale_invariant_r(rho0, rhoT, r, ops=ops)
     state = init_state(rho0, rhoT, Nt) if init is None else init
 
     def cond(s):
@@ -245,10 +245,19 @@ def solve(rho0, rhoT, Nt, *, delta=10.0, r=1.0, convergence_tol=0.3,
                             verbose=verbose, ops=ops,
                             admm_alpha=admm_alpha, auto_r=auto_r,
                             init=init)
+    u, v, m, growth, source = _postprocess(state, delta)
+    return WfrResult(u=u, v=v, m=m, growth=growth, source=source,
+                     state=state)
+
+
+@jax.jit
+def _postprocess(state: foto.FotoState, delta):
+    """Flow extraction + growth/source in ONE jitted program — the eager
+    form dispatched ~10 device ops per solve, minutes through a degraded
+    TPU tunnel (review, round 4; CLAUDE.md eager-dispatch rule)."""
     u, v, m = flow_from_potential(state.phi)
     growth = growth_from_state(state, delta)
-    return WfrResult(u=u, v=v, m=m, growth=growth,
-                     source=state.mu[3] / delta, state=state)
+    return u, v, m, growth, state.mu[3] / delta
 
 
 def combined_luminosity(m_div: jnp.ndarray, growth: jnp.ndarray) -> jnp.ndarray:

@@ -237,3 +237,26 @@ class TestSweep:
         assert set(out) == {"a", "b", "c"}
         assert out["a"].phi.shape == (4, 18, 18)
         assert out["b"].phi.shape == (4, 12, 16)
+
+
+def test_auto_r_tiled_matches_whole():
+    """auto_r's data-dependent penalty must be the GLOBAL max under
+    shard_map (ops.max -> pmax); a tile-local max silently gives each
+    device a different ADMM iteration (review, round 4)."""
+    import jax.numpy as jnp
+    from ofot_tpu.solvers import foto
+    from ofot_tpu.parallel import foto_sharded
+    from ofot_tpu.parallel.mesh import make_mesh
+    from tests.fixtures import smooth_blob_pair
+
+    f1, f2 = smooth_blob_pair(16, 16, dtype=np.float32)
+    # non-unit peak so auto_r actually rescales; blob peak lives in ONE
+    # tile, so a tile-local max would differ across devices
+    a, b = jnp.asarray(f1 * 7.3), jnp.asarray(f2 * 7.3)
+    kw = dict(r=1.0, reg_epsilon=1e-2, convergence_tol=0.0, max_it=6,
+              cg_rtol=1e-12, cg_maxiter=300, auto_r=True)
+    whole = foto.solve_potential(a, b, 4, **kw)
+    tiled = foto_sharded.solve_potential_tiled(
+        a, b, 4, make_mesh({"y": 2, "x": 2}), **kw)
+    np.testing.assert_allclose(np.asarray(whole.phi),
+                               np.asarray(tiled.phi), atol=2e-5)

@@ -149,3 +149,27 @@ def test_overrelaxation_theta_validated():
         sinkhorn.solve(a, a, 4.0, theta=2.3)
     with pytest.raises(ValueError):
         sinkhorn.solve(a, a, 4.0, theta=0.0)
+
+
+def test_max_iter_hard_ceiling():
+    """max_iter not a multiple of check_every must still be a hard cap
+    (review, round 4: max_iter=30 with check_every=25 used to run 50)."""
+    import jax.numpy as jnp
+    from tests.fixtures import smooth_blob_pair
+    f1, f2 = smooth_blob_pair(12, 14)
+    r = sinkhorn.solve(jnp.asarray(f1), jnp.asarray(f2), 4.0,
+                       max_iter=30, tol=0.0)
+    assert int(r.iterations) == 30
+
+
+def test_annealed_ladder_guards():
+    """anneal_factor <= 1 / epsilon <= 0 would build an unbounded ladder
+    (review, round 4) — both must raise eagerly."""
+    import jax.numpy as jnp
+    from tests.fixtures import smooth_blob_pair
+    f1, f2 = smooth_blob_pair(12, 14)
+    a, b = jnp.asarray(f1), jnp.asarray(f2)
+    with pytest.raises(ValueError):
+        sinkhorn.solve_annealed(a, b, 4.0, anneal_factor=1.0)
+    with pytest.raises(ValueError):
+        sinkhorn.solve_annealed(a, b, 0.0)
