@@ -251,8 +251,8 @@ def main(argv=None) -> int:
         # clean and illumination-augmented benchmarks (wfr.
         # combined_luminosity docstring; RESULTS.md m-variant study)
         u, v, m = (np.asarray(result.u), np.asarray(result.v),
-                   np.asarray(wfr.combined_luminosity(result.m,
-                                                      result.growth)))
+                   np.asarray(jax.jit(wfr.combined_luminosity)(
+                       result.m, result.growth)))
         jax.block_until_ready(result.state.phi)
         solve_end = time.time()
         solver_stats = {"iterations": int(result.state.iteration),
@@ -305,8 +305,11 @@ def main(argv=None) -> int:
             theta=args.sinkhorn_theta)
         jax.block_until_ready(res.u)
         # luminosity from the displacement's divergence, same convention
-        # as the dynamic extraction (reference benamou_brenier.py:270)
-        m_d = -operators.div2d(res.u, res.v, bc="D")
+        # as the dynamic extraction (reference benamou_brenier.py:270);
+        # jitted — eager stencil dispatch costs ~10 tunnel round-trips
+        # (review, round 4)
+        m_d = jax.jit(lambda u, v: -operators.div2d(u, v, bc="D"))(
+            res.u, res.v)
         u, v, m = np.asarray(res.u), np.asarray(res.v), np.asarray(m_d)
         solve_end = time.time()
         solver_stats = {"iterations": int(res.iterations),
@@ -327,9 +330,14 @@ def main(argv=None) -> int:
             # (ADVICE.md r2 — was 5 solves where 3 suffice).  Same theta
             # as flow()'s solves, and its convergence is checked like
             # theirs (review, round 3)
-            bb = sinkhorn.solve(rho2_d, rho2_d, args.sinkhorn_epsilon,
-                                max_iter=args.max_it, tol=args.sinkhorn_tol,
-                                theta=args.sinkhorn_theta)
+            # annealed like flow()'s own solves, so all three costs in
+            # the divergence are converged by the same schedule (review,
+            # round 4; self-solves converge even plain, but uniformity
+            # costs nothing — the ladder reuses solve()'s executable)
+            bb = sinkhorn.solve_annealed(
+                rho2_d, rho2_d, args.sinkhorn_epsilon,
+                max_iter=args.max_it, tol=args.sinkhorn_tol,
+                theta=args.sinkhorn_theta)
             div = res.cost_ab - 0.5 * (res.cost_aa + bb.cost)
             w2 = float(jnp.sqrt(jnp.maximum(div, 0.0)))
             solver_stats["wasserstein2"] = w2

@@ -324,9 +324,9 @@ def _escalate_sinkhorn_f64(argv: list) -> bool:
     env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     if r.returncode != 0:
+        tail = r.stderr.strip().splitlines()[-1:] if r.stderr else []
         print(f"note: f64 escalation failed (rc={r.returncode}): "
-              f"{r.stderr.strip().splitlines()[-1] if r.stderr else ''}",
-              file=sys.stderr)
+              f"{tail[0] if tail else ''}", file=sys.stderr)
     return r.returncode == 0
 
 
@@ -412,8 +412,9 @@ def cmd_run(args) -> int:
             out_dir.mkdir(exist_ok=True)
             frame10 = seq / "frame10.png"
             frame11 = seq / "frame11.png"
-            data_diff.main([str(frame10), str(frame11),
-                            str(out_dir / "diff.png")])
+            if not (out_dir / "diff.png").exists():   # resume-cached
+                data_diff.main([str(frame10), str(frame11),
+                                str(out_dir / "diff.png")])
             gt = _ground_truth_flo(ds, seq.name)
             maxmotion = _gt_maxmotion(gt) if gt is not None else None
             if gt is not None and not (out_dir / "flow10.png").exists():

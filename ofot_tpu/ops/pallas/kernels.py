@@ -306,6 +306,11 @@ def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r,
     for d in shape[1:]:
         L *= d
     relaxed = q_prev is not None
+    if alpha is not None and not relaxed:
+        # symmetric with the q_prev-without-alpha error below: silently
+        # running the un-relaxed update would let over-relaxation no-op
+        # (review, round 4)
+        raise ValueError("alpha given without q_prev")
     arrs = [grad_phi, mu] + ([q_prev] if relaxed else [])
     chunked, cols, n_chunks, pad = _chunk3(arrs, L)
     if relaxed:

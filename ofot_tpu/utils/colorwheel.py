@@ -95,6 +95,10 @@ def motion_to_color(u: np.ndarray, v: np.ndarray,
     Returns (rgb (h, w, 3) uint8, maxrad, stats dict)."""
     u = np.asarray(u, np.float64)
     v = np.asarray(v, np.float64)
+    if u.size == 0:
+        # a corrupt .flo decoding to w=0/h=0 used to crash in the stats
+        # reductions below (review, round 4) — fail with the actual cause
+        raise ValueError("empty flow field (zero-size u/v)")
     unknown = (np.abs(u) > UNKNOWN_FLOW_THRESH) | (np.abs(v) > UNKNOWN_FLOW_THRESH)
     uk = np.where(unknown, 0.0, u)
     vk = np.where(unknown, 0.0, v)

@@ -24,6 +24,12 @@ import numpy as np
 
 def _masked_mean_std(values, mask):
     cnt = np.sum(mask)
+    if cnt == 0:
+        # every pixel dropped (all-outlier EE / all-NaN AE, e.g. a fully
+        # divergent solve): return NaN explicitly instead of tripping a
+        # 0/0 RuntimeWarning — callers see it in benchmark.txt/manifest
+        # as the signal it is (review, round 4)
+        return float("nan"), float("nan")
     mean = np.sum(np.where(mask, values, 0.0)) / cnt
     var = np.sum(np.where(mask, (values - mean) ** 2, 0.0)) / cnt
     return mean, np.sqrt(var)
