@@ -620,7 +620,7 @@ def cg_operator_pallas_blocked(x: jnp.ndarray, r=1.0,
         out_shape=jax.ShapeDtypeStruct((Nt, Ny_eff, Nx_eff), x.dtype),
         in_specs=[pl.BlockSpec((1, 2), lambda t, yb: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, By, Nx_eff), lambda t, yb: (t, yb, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
