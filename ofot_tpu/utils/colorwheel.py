@@ -134,3 +134,24 @@ def flow_to_png(flo_path: str, png_path: str,
                                      s["minv"], s["maxv"]))
     Image.fromarray(rgb, "RGB").save(png_path)
     return maxrad
+
+
+def cli_main(argv=None) -> int:
+    """Console-script entry (`ofot-color-flow`), mirroring the native
+    tool's surface: ``ofot-color-flow [-quiet] in.flo out.png
+    [maxmotion]``.  (The pyproject script used to point at
+    :func:`flow_to_png` directly, which takes positional parameters and
+    crashed as a zero-arg entry point — review, round 4.)"""
+    import sys
+    args = list(sys.argv[1:] if argv is None else argv)
+    quiet = False
+    if args and args[0] == "-quiet":
+        quiet = True
+        args = args[1:]
+    if len(args) not in (2, 3):
+        print("  usage: ofot-color-flow [-quiet] in.flo out.png "
+              "[maxmotion]", file=sys.stderr)
+        return 1
+    maxmotion = float(args[2]) if len(args) == 3 else None
+    flow_to_png(args[0], args[1], maxmotion=maxmotion, quiet=quiet)
+    return 0

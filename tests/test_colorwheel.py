@@ -178,3 +178,16 @@ def test_native_usage_and_bad_file(native_binary, tmp_path):
     r = subprocess.run([str(native_binary), str(bad), str(tmp_path / "o.png")],
                        capture_output=True, text=True)
     assert r.returncode != 0 and "wrong tag" in r.stderr
+
+
+def test_cli_main_entry(tmp_path):
+    """The ofot-color-flow console-script entry (pyproject) parses the
+    native tool's surface and writes the PNG (review, round 4: the
+    script used to point at flow_to_png, which crashes as an entry)."""
+    fp = tmp_path / "t.flo"
+    flo.write_flo(4, 3, np.ones(12), np.zeros(12), str(fp))
+    out = tmp_path / "t.png"
+    assert colorwheel.cli_main(["-quiet", str(fp), str(out)]) == 0
+    assert out.exists()
+    assert colorwheel.cli_main([str(fp), str(out), "2.5"]) == 0
+    assert colorwheel.cli_main([]) == 1
