@@ -37,6 +37,15 @@ namespace {
 constexpr float kFloTag = 202021.25f;
 constexpr double kUnknownThresh = 1e9;
 
+// reference unknown_flow(): NaN counts as unknown (its disassembly carries
+// an explicit NaN parity test); without it a NaN .flo pixel flowed into
+// map(), static_cast<int>(NaN) was UB and the wheel lookup segfaulted
+// (reproduced; review, round 4)
+bool unknown_flow(double u, double v) {
+    return std::isnan(u) || std::isnan(v) ||
+           std::fabs(u) > kUnknownThresh || std::fabs(v) > kUnknownThresh;
+}
+
 [[noreturn]] void fail(const char* fmt, const char* arg = nullptr, int num = 0) {
     char buf[1024];
     std::snprintf(buf, sizeof buf, fmt, arg, num);
@@ -50,6 +59,9 @@ struct Flow {
 };
 
 Flow read_flo(const char* path) {
+    const char* dot = std::strrchr(path, '.');
+    if (!dot || std::strcmp(dot, ".flo") != 0)
+        fail("ReadFlowFile (%s): extension .flo expected", path);
     std::FILE* f = std::fopen(path, "rb");
     if (!f) fail("ReadFlowFile: could not open %s", path);
 
@@ -107,23 +119,27 @@ class ColorWheel {
         seg(MR, [&](int i) { return std::array<int, 3>{255, 0, 255 - 255 * i / MR}; });
     }
 
-    // (u, v) already normalized to the unit disc for in-range motion
-    void map(double u, double v, std::uint8_t* out) const {
-        double rad = std::sqrt(u * u + v * v);
-        double a = std::atan2(-v, -u) / M_PI;
-        double fk = (a + 1.0) / 2.0 * (kN - 1);
+    // (u, v) already normalized to the unit disc for in-range motion.
+    // Single precision throughout: the reference computeColor works in
+    // float (atan2f/sqrtss in its disassembly), and boundary pixels can
+    // land on different wheel entries under double (review, round 4)
+    void map(double ud, double vd, std::uint8_t* out) const {
+        float u = static_cast<float>(ud), v = static_cast<float>(vd);
+        float rad = std::sqrt(u * u + v * v);
+        float a = std::atan2(-v, -u) / static_cast<float>(M_PI);
+        float fk = (a + 1.0f) / 2.0f * (kN - 1);
         int k0 = static_cast<int>(fk);
         int k1 = (k0 + 1) % kN;
-        double f = fk - k0;
+        float f = fk - k0;
         for (int b = 0; b < 3; ++b) {
-            double col0 = wheel_[k0][b] / 255.0;
-            double col1 = wheel_[k1][b] / 255.0;
-            double col = (1.0 - f) * col0 + f * col1;
-            if (rad <= 1.0)
-                col = 1.0 - rad * (1.0 - col);   // desaturate toward white
+            float col0 = wheel_[k0][b] / 255.0f;
+            float col1 = wheel_[k1][b] / 255.0f;
+            float col = (1.0f - f) * col0 + f * col1;
+            if (rad <= 1.0f)
+                col = 1.0f - rad * (1.0f - col);  // desaturate toward white
             else
-                col *= 0.75;                     // out of range: dim
-            out[b] = static_cast<std::uint8_t>(255.0 * col);
+                col *= 0.75f;                     // out of range: dim
+            out[b] = static_cast<std::uint8_t>(255.0f * col);
         }
     }
 
@@ -152,22 +168,28 @@ void write_png(const char* path, int w, int h,
     std::fclose(f);
 }
 
-void write_pnm(const char* path, int w, int h,
+void write_ppm(const char* path, int w, int h,
                const std::vector<std::uint8_t>& rgb) {
-    // binary PNM: RGB data is always P6 (band count decides, as in the
-    // Middlebury imageLib's WriteFilePNM — a .pgm name does not force P5)
+    // binary P6 for the 3-band color image (the reference imageLib's
+    // WriteFilePPM path; its WriteFilePGM REJECTS 3-band data — see
+    // write_image — so .pgm is not a P6 alias here; review, round 4)
     std::FILE* f = std::fopen(path, "wb");
-    if (!f) fail("WriteFilePNM: could not open %s", path);
+    if (!f) fail("WriteFilePPM: could not open %s", path);
     std::fprintf(f, "P6\n%d %d\n255\n", w, h);
     if (std::fwrite(rgb.data(), 1, rgb.size(), f) != rgb.size())
-        fail("WriteFilePNM: error writing %s", path);
+        fail("WriteFilePPM: error writing %s", path);
     std::fclose(f);
 }
 
 void write_tga(const char* path, int w, int h,
                const std::vector<std::uint8_t>& rgb) {
-    // uncompressed 24-bit type-2 TARGA; pixel order BGR, bottom-up rows
-    // (origin bit 5 = 0), the layout classic TGA readers default to
+    // uncompressed 24-bit type-2 TARGA; pixel order BGR.  Rows are
+    // written TOP-DOWN with descriptor byte 0, exactly like the
+    // reference's WriteFileTGA (its row loop fwrites y = 0..h-1 —
+    // parity over spec-conformance; review, round 4)
+    if (w > 0xFFFF || h > 0xFFFF)
+        fail("WriteFileTGA: image too large for TGA header (%s, max 65535)",
+             path);
     std::FILE* f = std::fopen(path, "wb");
     if (!f) fail("WriteFileTGA: could not open %s", path);
     std::uint8_t header[18] = {};
@@ -180,7 +202,7 @@ void write_tga(const char* path, int w, int h,
     if (std::fwrite(header, 1, sizeof header, f) != sizeof header)
         fail("WriteFileTGA: error writing %s", path);
     std::vector<std::uint8_t> row(static_cast<size_t>(w) * 3);
-    for (int y = h - 1; y >= 0; --y) {                // bottom-up
+    for (int y = 0; y < h; ++y) {                     // top-down (parity)
         const std::uint8_t* src = &rgb[static_cast<size_t>(y) * w * 3];
         for (int x = 0; x < w; ++x) {
             row[3 * x] = src[3 * x + 2];              // B
@@ -195,18 +217,24 @@ void write_tga(const char* path, int w, int h,
 
 void write_image(const char* path, int w, int h,
                  const std::vector<std::uint8_t>& rgb) {
+    // dispatch mirrors the reference WriteImage: lowercase AND uppercase
+    // .png/.tga, .ppm for the 3-band image; .pgm errors (1-band only in
+    // imageLib's WriteFilePGM) and .pnm is not a supported type
     const char* dot = std::strrchr(path, '.');
     const char* ext = dot ? dot + 1 : "";
-    if (std::strcmp(ext, "pgm") == 0 || std::strcmp(ext, "ppm") == 0 ||
-        std::strcmp(ext, "pnm") == 0)
-        write_pnm(path, w, h, rgb);
-    else if (std::strcmp(ext, "tga") == 0)
+    if (std::strcmp(ext, "ppm") == 0)
+        write_ppm(path, w, h, rgb);
+    else if (std::strcmp(ext, "pgm") == 0)
+        fail("WriteFilePGM (%s): can only write 1-band image as pgm", path);
+    else if (std::strcmp(ext, "pnm") == 0)
+        fail("WriteImage (%s): file type not supported", path);
+    else if (std::strcmp(ext, "tga") == 0 || std::strcmp(ext, "TGA") == 0)
         write_tga(path, w, h, rgb);
-    else if (std::strcmp(ext, "png") == 0)
+    else if (std::strcmp(ext, "png") == 0 || std::strcmp(ext, "PNG") == 0)
         write_png(path, w, h, rgb);
     else
         fail("WriteImage: unknown image extension in %s "
-             "(supported: png, pgm/ppm/pnm, tga)", path);
+             "(supported: png, ppm, tga)", path);
 }
 
 }  // namespace
@@ -234,7 +262,7 @@ int main(int argc, char** argv) {
     double maxu = -999, maxv = -999, minu = 999, minv = 999, maxrad = -1;
     for (size_t i = 0; i < flow.u.size(); ++i) {
         double u = flow.u[i], v = flow.v[i];
-        if (std::fabs(u) > kUnknownThresh || std::fabs(v) > kUnknownThresh)
+        if (unknown_flow(u, v))
             continue;
         maxu = std::max(maxu, u); minu = std::min(minu, u);
         maxv = std::max(maxv, v); minv = std::min(minv, v);
@@ -250,10 +278,12 @@ int main(int argc, char** argv) {
     std::vector<std::uint8_t> rgb(static_cast<size_t>(w) * h * 3, 0);
     for (size_t i = 0; i < flow.u.size(); ++i) {
         double u = flow.u[i], v = flow.v[i];
-        if (std::fabs(u) > kUnknownThresh || std::fabs(v) > kUnknownThresh)
+        if (unknown_flow(u, v))
             continue;   // unknown flow stays black
         wheel.map(u / maxrad, v / maxrad, &rgb[i * 3]);
     }
+    if (!quiet)
+        std::fprintf(stderr, "Writing image %s\n", out_path);
     write_image(out_path, w, h, rgb);
     return 0;
 }

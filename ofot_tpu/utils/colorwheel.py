@@ -46,9 +46,14 @@ _WHEEL = make_colorwheel()
 
 
 def compute_color(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Map *normalized* flow (u, v) -> (h, w, 3) uint8 RGB."""
-    u = np.asarray(u, np.float64)
-    v = np.asarray(v, np.float64)
+    """Map *normalized* flow (u, v) -> (h, w, 3) uint8 RGB.
+
+    Single precision like the reference colorcode (its computeColor runs
+    in float; boundary pixels can land on different wheel entries under
+    f64 — review, round 4; keeps the C++ tool and this twin bit-aligned).
+    """
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
     rad = np.sqrt(u * u + v * v)
     a = np.arctan2(-v, -u) / np.pi
     fk = (a + 1.0) / 2.0 * (NCOLS - 1)
@@ -99,7 +104,12 @@ def motion_to_color(u: np.ndarray, v: np.ndarray,
         # a corrupt .flo decoding to w=0/h=0 used to crash in the stats
         # reductions below (review, round 4) — fail with the actual cause
         raise ValueError("empty flow field (zero-size u/v)")
-    unknown = (np.abs(u) > UNKNOWN_FLOW_THRESH) | (np.abs(v) > UNKNOWN_FLOW_THRESH)
+    # NaN counts as unknown, like the reference ELF's unknown_flow()
+    # (NaN > thresh is False, so the magnitude test alone let NaN reach
+    # the wheel lookup — review, round 4)
+    unknown = (np.abs(u) > UNKNOWN_FLOW_THRESH) \
+        | (np.abs(v) > UNKNOWN_FLOW_THRESH) \
+        | np.isnan(u) | np.isnan(v)
     uk = np.where(unknown, 0.0, u)
     vk = np.where(unknown, 0.0, v)
 

@@ -7,8 +7,9 @@ twin (utils/colorwheel.py) on every .flo corner case the Middlebury
 format admits — unknown-flow sentinel at/above the 1e9 threshold,
 explicit maxmotion (including one that forces the out-of-range dimming
 branch), zero motion, all-unknown fields, truncated/garbage files, and
-the ``-quiet`` stats line — across all four output codecs (PNG/PPM/PGM/
-TGA, the codecs embedded in the reference ELF's imageLib strings).
+the ``-quiet`` stats line — across the PNG/PPM/TGA output codecs (the
+reference imageLib surface; .pgm errors there — 1-band only — and .pnm
+is unsupported, both pinned in test_colorwheel).
 """
 
 import shutil
@@ -31,8 +32,7 @@ def _read_png(path):
     return np.asarray(Image.open(path).convert("RGB"))
 
 
-READERS = {"png": _read_png, "ppm": _read_ppm, "pgm": _read_ppm,
-           "tga": _read_tga}
+READERS = {"png": _read_png, "ppm": _read_ppm, "tga": _read_tga}
 
 
 @pytest.fixture(scope="module")
@@ -84,7 +84,7 @@ def _assert_parity(native_binary, tmp_path, u, v, maxmotion=None,
 
 def test_fuzz_random_flows_all_codecs(native_binary, tmp_path):
     """Random flows with sprinkled unknown pixels, with and without an
-    explicit maxmotion, across all four codecs."""
+    explicit maxmotion, across all writable codecs."""
     for trial in range(4):
         h, w = int(RNG.integers(3, 25)), int(RNG.integers(3, 33))
         u = RNG.uniform(-9, 9, (h, w))
@@ -93,7 +93,7 @@ def test_fuzz_random_flows_all_codecs(native_binary, tmp_path):
         u[mask] = 3e9 * RNG.choice([-1, 1], mask.sum())
         mm = None if trial % 2 == 0 else float(RNG.uniform(0.5, 12.0))
         _assert_parity(native_binary, tmp_path, u, v, mm,
-                       exts=("png", "ppm", "pgm", "tga"))
+                       exts=("png", "ppm", "tga"))
 
 
 def test_sentinel_threshold_boundary(native_binary, tmp_path):
@@ -124,7 +124,7 @@ def test_zero_motion_field_is_white(native_binary, tmp_path):
     pixel desaturates to pure white."""
     u = np.zeros((6, 8))
     _assert_parity(native_binary, tmp_path, u, u,
-                   exts=("png", "ppm", "pgm", "tga"))
+                   exts=("png", "ppm", "tga"))
     fp = _write(tmp_path, u, u)
     out = tmp_path / "z.png"
     _run(native_binary, fp, out)
@@ -137,7 +137,7 @@ def test_all_unknown_field_is_black(native_binary, tmp_path):
     emit an all-black image, not divide-by-zero garbage."""
     u = np.full((5, 7), 2e9)
     _assert_parity(native_binary, tmp_path, u, u,
-                   exts=("png", "ppm", "pgm", "tga"))
+                   exts=("png", "ppm", "tga"))
     fp = _write(tmp_path, u, u)
     out = tmp_path / "b.png"
     _run(native_binary, fp, out)
@@ -151,7 +151,7 @@ def test_explicit_maxmotion_dims_out_of_range(native_binary, tmp_path):
     u = np.array([[4.0, 1.0], [0.5, -3.0]])
     v = np.array([[0.0, 2.0], [-0.5, 1.0]])
     _assert_parity(native_binary, tmp_path, u, v, maxmotion=1.0,
-                   exts=("png", "ppm", "pgm", "tga"))
+                   exts=("png", "ppm", "tga"))
     fp = _write(tmp_path, u, v)
     a, b = tmp_path / "auto.png", tmp_path / "pinned.png"
     _run(native_binary, fp, a)
@@ -217,3 +217,31 @@ def test_quiet_stats_text_pinned(native_binary, tmp_path):
     want = ("max motion: %.4f  motion range: u = %.3f .. %.3f;  "
             "v = %.3f .. %.3f\n" % (maxrad, -1.5, 0.25, -0.125, 3.0))
     assert rv.stdout == want
+
+
+def test_nan_flow_is_unknown(native_binary, tmp_path):
+    """NaN pixels count as unknown (the reference's unknown_flow has an
+    explicit NaN test) — the native tool used to SEGFAULT here and the
+    Python twin indexed the wheel with a garbage cast (review, round 4)."""
+    u = np.array([[np.nan, 1.0, 0.5], [np.nan, np.nan, -1.0]])
+    v = np.array([[0.0, np.nan, 0.25], [1.0, np.nan, 0.5]])
+    _assert_parity(native_binary, tmp_path, u, v,
+                   exts=("png", "ppm", "tga"))
+    fp = _write(tmp_path, u, v)
+    out = tmp_path / "n.png"
+    _run(native_binary, fp, out)
+    rgb = _read_png(out)
+    np.testing.assert_array_equal(rgb[0, 0], 0)     # NaN u
+    np.testing.assert_array_equal(rgb[0, 1], 0)     # NaN v
+    np.testing.assert_array_equal(rgb[1, 1], 0)     # both NaN
+    assert rgb[0, 2].sum() > 0                       # known pixel colored
+
+
+def test_uppercase_extensions(native_binary, tmp_path):
+    """.PNG / .TGA accepted like the reference WriteImage's uppercase
+    strcmp pairs."""
+    u = np.array([[1.0, -1.0]])
+    fp = _write(tmp_path, u, np.zeros_like(u))
+    for name in ("T.PNG", "T.TGA"):
+        _run(native_binary, fp, tmp_path / name)
+        assert (tmp_path / name).exists()

@@ -139,16 +139,18 @@ def _read_tga(path):
     w = data[12] | (data[13] << 8)
     h = data[14] | (data[15] << 8)
     px = np.frombuffer(data[18:], np.uint8).reshape(h, w, 3)
-    return px[::-1, :, ::-1]                        # bottom-up BGR -> RGB
+    # rows are TOP-DOWN (parity with the reference WriteFileTGA, which
+    # fwrites y = 0..h-1 with descriptor 0); BGR -> RGB
+    return px[:, :, ::-1]
 
 
 @pytest.mark.parametrize("ext,reader", [("ppm", _read_ppm),
-                                        ("pgm", _read_ppm),
                                         ("tga", _read_tga)])
 def test_native_pnm_tga_outputs(native_binary, tmp_path, ext, reader):
-    """The reference ELF's imageLib carries PNG/PGM/TGA codecs (strings in
+    """The reference ELF's imageLib carries PNG/PPM/TGA codecs (strings in
     reference bin/color_flow); the rebuilt tool honors the same output
-    extensions with identical pixels across formats."""
+    extensions with identical pixels across formats.  (.pgm errors like
+    the reference's 1-band-only WriteFilePGM — see the fuzz harness.)"""
     h, w = 10, 14
     u = RNG.uniform(-3, 3, (h, w)).astype(np.float32)
     v = RNG.uniform(-3, 3, (h, w)).astype(np.float32)
@@ -168,6 +170,20 @@ def test_native_unknown_extension_fails(native_binary, tmp_path):
                         str(tmp_path / "t.bmp")],
                        capture_output=True, text=True)
     assert r.returncode != 0 and "unknown image extension" in r.stderr
+    # reference parity: .pgm is 1-band-only, .pnm unsupported, and a
+    # non-.flo input is rejected before reading (review, round 4)
+    for name, msg in (("t.pgm", "can only write 1-band image as pgm"),
+                      ("t.pnm", "file type not supported")):
+        r = subprocess.run([str(native_binary), str(fp),
+                            str(tmp_path / name)],
+                           capture_output=True, text=True)
+        assert r.returncode != 0 and msg in r.stderr, (name, r.stderr)
+    bad_in = tmp_path / "t.dat"
+    bad_in.write_bytes(fp.read_bytes())
+    r = subprocess.run([str(native_binary), str(bad_in),
+                        str(tmp_path / "o.png")],
+                       capture_output=True, text=True)
+    assert r.returncode != 0 and "extension .flo expected" in r.stderr
 
 
 def test_native_usage_and_bad_file(native_binary, tmp_path):
