@@ -348,6 +348,11 @@ def _maybe_escalate_sinkhorn(res: dict, argv: list, stats_path: Path,
         res["wall_s"] = wall0 + (time.time() - t0)
         res["marginal_error_f32"] = me
         _fold_stats(res, stats_path)     # last record is the f64 solve
+    else:
+        # the shipped artifacts are the known-biased f32 flow; mark the
+        # manifest entry so sweep summaries can surface it (the .sucess
+        # resume flag will still be touched by the caller — ADVICE.md r4)
+        res["escalation_failed"] = True
 
 
 def _run_algo(algo: str, frame10: Path, frame11: Path, out_dir: Path,

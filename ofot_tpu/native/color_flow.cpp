@@ -225,9 +225,9 @@ void write_image(const char* path, int w, int h,
     if (std::strcmp(ext, "ppm") == 0)
         write_ppm(path, w, h, rgb);
     else if (std::strcmp(ext, "pgm") == 0)
-        fail("WriteFilePGM (%s): can only write 1-band image as pgm", path);
+        fail("WriteFilePGM(%s): can only write 1-band image as pgm", path);
     else if (std::strcmp(ext, "pnm") == 0)
-        fail("WriteImage (%s): file type not supported", path);
+        fail("WriteImage(%s): file type not supported", path);
     else if (std::strcmp(ext, "tga") == 0 || std::strcmp(ext, "TGA") == 0)
         write_tga(path, w, h, rgb);
     else if (std::strcmp(ext, "png") == 0 || std::strcmp(ext, "PNG") == 0)

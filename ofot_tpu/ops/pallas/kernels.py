@@ -307,15 +307,14 @@ def fused_pointwise_pallas(grad_phi: jnp.ndarray, mu: jnp.ndarray, r,
         L *= d
     relaxed = q_prev is not None
     if alpha is not None and not relaxed:
-        # symmetric with the q_prev-without-alpha error below: silently
-        # running the un-relaxed update would let over-relaxation no-op
-        # (review, round 4)
+        # silently running the un-relaxed update would let over-relaxation
+        # no-op (review, round 4)
         raise ValueError("alpha given without q_prev")
+    if relaxed and alpha is None:
+        raise ValueError("q_prev given without alpha")
     arrs = [grad_phi, mu] + ([q_prev] if relaxed else [])
     chunked, cols, n_chunks, pad = _chunk3(arrs, L)
     if relaxed:
-        if alpha is None:
-            raise ValueError("q_prev given without alpha")
         params = jnp.stack([jnp.asarray(r, grad_phi.dtype),
                             jnp.asarray(alpha, grad_phi.dtype)]).reshape(1, 2)
         kernel = lambda p, g, m, qp, q, n, an, ad: \

@@ -69,6 +69,14 @@ class WfrResult(NamedTuple):
     source: jnp.ndarray   # (Nt, Ny, Nx) zeta = sigma / delta
     state: foto.FotoState
 
+    @property
+    def m_combined(self) -> jnp.ndarray:
+        """Luminosity with the growth composed into the -div dilution
+        correction, ``1 + m_combined = (1 + growth)(1 + m)`` — the field
+        the CLI and the batched sweep ship in the ``m`` slot (the raw
+        ``m`` here is the -div field alone; ADVICE.md r4)."""
+        return combined_luminosity(self.m, self.growth)
+
 
 def resolve_stepA_solver(solver: str, platform: str, npts: int) -> str:
     """WFR counterpart of :func:`foto.resolve_stepA_solver`.
