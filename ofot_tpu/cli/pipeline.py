@@ -649,7 +649,8 @@ def cmd_run_batch(args) -> int:
                 u, v, m, diag = sweep_mod.solve_batch_full(
                     algo, f1s, f2s, mesh,
                     foto_params=foto_params, gn_params=gn_params,
-                    wfr_params=wfr_params, sinkhorn_params=sinkhorn_params)
+                    wfr_params=wfr_params, sinkhorn_params=sinkhorn_params,
+                    batch_mode=getattr(args, "batch_mode", "map"))
                 jax.block_until_ready(u)
                 wall = _time.time() - t0
                 # jit the vmapped warp: plain vmap executes eagerly, and
@@ -690,7 +691,9 @@ def cmd_run_batch(args) -> int:
                     entry = manifest.setdefault(f"{ds_name}/{key}", {})
                     entry[algo] = {"algo": algo, "status": "ok",
                                    "wall_s": wall / n, "batched": True,
-                                   "batch_size": int(n)}
+                                   "batch_size": int(n),
+                                   "batch_mode": getattr(args, "batch_mode",
+                                                         "map")}
                     # per-sequence solver diagnostics (convergence is
                     # otherwise invisible in batch mode)
                     for dk, dv in diag.items():
@@ -783,6 +786,13 @@ def main(argv=None) -> int:
         r.add_argument("--data-parallel", type=int, default=1,
                        help="shard the batch axis over this many devices "
                             "(batch mode)")
+        r.add_argument("--batch-mode", choices=["map", "vmap"],
+                       default="map",
+                       help="batch execution: 'map' solves pairs "
+                            "sequentially inside one jitted program "
+                            "(full per-pair VMEM residency, dispatch "
+                            "amortized — default); 'vmap' solves the "
+                            "batch in lockstep")
         r.set_defaults(fn=fn)
 
     m = sub.add_parser("merge-manifests",
