@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sinkhorn-tol", type=float, default=1e-4,
                    help="marginal L1 convergence tolerance for "
                         "--algo=sinkhorn")
+    p.add_argument("--sinkhorn-stabilizer",
+                   choices=["auto", "matmul", "exact"], default="auto",
+                   help="softmin stabilization for --algo=sinkhorn: "
+                        "matmul = two-stage MXU form (fast; f32 envelope "
+                        "eps >= potential-spread/88), exact = per-entry "
+                        "max-plus shifts (no f32 envelope, ~5-10x/iter), "
+                        "auto = matmul first, exact retry if the marginal "
+                        "error misses tol (default)")
     p.add_argument("--sinkhorn-theta", type=float, default=1.0,
                    help="over-relaxation of the Sinkhorn dual updates "
                         "(1.0 = classical; measured 1.8x/3.3x/4.6x fewer "
@@ -299,11 +307,32 @@ def main(argv=None) -> int:
             # otherwise come back as a plausible all-zero flow)
             raise SystemExit(f"--sinkhorn-theta={args.sinkhorn_theta} "
                              "outside the convergent range (0, 2)")
+        stab = ("exact" if args.sinkhorn_stabilizer == "exact"
+                else "matmul")
         res = sinkhorn.flow(
             rho1_d, rho2_d, args.sinkhorn_epsilon,
             max_iter=args.max_it, tol=args.sinkhorn_tol,
-            theta=args.sinkhorn_theta)
+            theta=args.sinkhorn_theta, stabilizer=stab)
         jax.block_until_ready(res.u)
+        if (args.sinkhorn_stabilizer == "auto" and
+                not (res.marginal_error <= args.sinkhorn_tol)):
+            # f32 matmul-softmin floor (solvers/sinkhorn.py
+            # _exact_stats docstring): the -lum regime's potential
+            # spread exceeds the dtype's exp window, the fast path
+            # plateaus, and the exactly-shifted softmin converges ON
+            # DEVICE at the same dtype — no f64/CPU escape needed
+            # (VERDICT.md r4 item 3)
+            print(f"  marginal error {float(res.marginal_error):.3g} > "
+                  f"tol {args.sinkhorn_tol:g} on the matmul-softmin path "
+                  "— re-solving with the exactly-stabilized softmin",
+                  flush=True)
+            me_matmul = float(res.marginal_error)
+            stab = "exact"
+            res = sinkhorn.flow(
+                rho1_d, rho2_d, args.sinkhorn_epsilon,
+                max_iter=args.max_it, tol=args.sinkhorn_tol,
+                theta=args.sinkhorn_theta, stabilizer=stab)
+            jax.block_until_ready(res.u)
         # luminosity from the displacement's divergence, same convention
         # as the dynamic extraction (reference benamou_brenier.py:270);
         # jitted — eager stencil dispatch costs ~10 tunnel round-trips
@@ -314,7 +343,10 @@ def main(argv=None) -> int:
         solve_end = time.time()
         solver_stats = {"iterations": int(res.iterations),
                         "marginal_error": float(res.marginal_error),
-                        "epsilon": args.sinkhorn_epsilon}
+                        "epsilon": args.sinkhorn_epsilon,
+                        "stabilizer": stab}
+        if stab == "exact" and args.sinkhorn_stabilizer == "auto":
+            solver_stats["marginal_error_matmul"] = me_matmul
         if not (res.marginal_error <= args.sinkhorn_tol):
             # a max_iter exit returns a biased flow — surface it instead
             # of leaving it buried in solver_stats (ADVICE.md r2).  The
@@ -337,7 +369,7 @@ def main(argv=None) -> int:
             bb = sinkhorn.solve_annealed(
                 rho2_d, rho2_d, args.sinkhorn_epsilon,
                 max_iter=args.max_it, tol=args.sinkhorn_tol,
-                theta=args.sinkhorn_theta)
+                theta=args.sinkhorn_theta, stabilizer=stab)
             div = res.cost_ab - 0.5 * (res.cost_aa + bb.cost)
             w2 = float(jnp.sqrt(jnp.maximum(div, 0.0)))
             solver_stats["wasserstein2"] = w2

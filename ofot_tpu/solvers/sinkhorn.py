@@ -29,6 +29,13 @@ exp argument by the per-row/column potential range, which grows with
 the mass spread — on 240x320 Middlebury-style frames the range is
 ~4e3, so f32 needs eps >= ~50 (measured: the annealed ladder holds a
 1e-4 marginal error down to eps = 100 and collapses below eps ~ 25).
+The envelope applies to the DEFAULT (matmul) stabilizer only: the
+``stabilizer='exact'`` mode (:func:`_exact_stats`, round 5) shifts per
+output entry and has no f32 envelope at all — it converges the -lum
+Middlebury regime (potential spread ~180 nats at eps=100, where the
+matmul form plateaus at L1 ~0.13) to 1e-4 on device in f32, at
+~5-10x the per-iteration cost; ``flow``'s CLI uses matmul first and
+escalates to exact automatically (--sinkhorn-stabilizer=auto).
 Convergence at frame scale additionally needs epsilon ANNEALING
 (:func:`solve_annealed`, the default in :func:`flow`): plain Sinkhorn's
 contraction stalls when osc(C)/eps ~ 1e4 (measured plateau at L1 0.35).
@@ -73,11 +80,86 @@ def _gibbs_1d(n: int, epsilon, dtype) -> jnp.ndarray:
     return jnp.exp(-d2 / epsilon)
 
 
+def _exact_stats(h: jnp.ndarray, eps, *, want_means: bool,
+                 chunk: int = 64):
+    """Exactly-stabilized softmin (and optional plan-row statistics) with
+    PER-OUTPUT-ENTRY max-plus shifts.
+
+    The production two-stage matmul softmin in :func:`solve` shifts by the
+    per-row/column max of the potential *alone*; that bounds every exp
+    argument by the within-row potential spread divided by eps.  When that
+    spread exceeds f32's ~88-nat window (measured on the -lum Middlebury
+    frames: spread ~1.8e4 at eps=100 → 180 nats) the mass-carrying terms
+    of far output columns underflow, the ``tiny`` floor injects phantom
+    mass ~e-88, and the iteration plateaus at an O(0.1) marginal error
+    (RESULTS.md r4 f32-floor diagnosis; VERDICT.md r4 item 3).
+
+    Here stage 1 contracts x' with the true shift
+    ``M1[y',x] = max_x' (h[y',x'] - (x-x')^2)/eps`` (a 1-D max-plus
+    transform — the largest term is exactly 1, smaller ones underflow only
+    when genuinely negligible), and stage 2 contracts y' the same way;
+    the stages chain EXACTLY through log-space partial results.  With
+    ``want_means`` the same pass also returns the plan-row conditional
+    means E[x'], E[y'] and E[C] via the law of total expectation (the
+    stage-1 conditional mean re-averaged under stage-2 weights), which is
+    what the barycentric flow extraction and the <P, C> cost need — all
+    ratios of same-shift sums, so the stabilization cancels identically.
+
+    Cost: O(Ny*Nx*(Nx+Ny)) VPU exp/max work per call versus the matmul
+    form's same-count MXU MACs (~5-10x slower per iteration) — the price
+    of removing the eps >= spread/88 f32 envelope entirely.  Work is
+    chunked over output columns (``chunk``) to bound the broadcast
+    tensors at (Ny, Nx, chunk).
+    """
+    dtype = h.dtype
+    Ny, Nx = h.shape
+    eps = jnp.asarray(eps, dtype)
+    ixp = jnp.arange(Nx, dtype=dtype)              # source x'
+    iyp = jnp.arange(Ny, dtype=dtype)              # source y'
+    cs = min(chunk, Nx)
+    nch = -(-Nx // cs)
+    # pad the output-column index list to a chunk multiple with clamped
+    # duplicates (recomputed then dropped — keeps every chunk's shapes
+    # static for one compiled body)
+    xs_all = jnp.minimum(jnp.arange(nch * cs), Nx - 1).astype(dtype)
+    xs_blocks = xs_all.reshape(nch, cs)
+    d2y = (iyp[:, None] - iyp[None, :]) ** 2       # (Ny', Ny)
+
+    def chunk_fn(xs):                              # xs: (cs,) output cols
+        d2x_c = (ixp[:, None] - xs[None, :]) ** 2          # (Nx', cs)
+        A = (h[:, :, None] - d2x_c[None, :, :]) / eps      # (Ny', Nx', cs)
+        M1 = jnp.max(A, axis=1)                            # (Ny', cs)
+        E1 = jnp.exp(A - M1[:, None, :])
+        den1 = jnp.sum(E1, axis=1)                         # >= 1, no uflow
+        L1 = M1 + jnp.log(den1)                            # nats, (Ny', cs)
+        B = L1[:, None, :] - d2y[:, :, None] / eps         # (Ny', Ny, cs)
+        M2 = jnp.max(B, axis=0)                            # (Ny, cs)
+        E2 = jnp.exp(B - M2[None, :, :])
+        den2 = jnp.sum(E2, axis=0)
+        S = eps * (M2 + jnp.log(den2))                     # softmin chunk
+        if not want_means:
+            return (S,)
+        ex1 = jnp.sum(E1 * ixp[None, :, None], axis=1) / den1   # E[x'|y',x]
+        ec1 = jnp.sum(E1 * d2x_c[None, :, :], axis=1) / den1    # E[(x-x')^2]
+        w = E2 / den2[None, :, :]
+        ty = jnp.sum(w * iyp[:, None, None], axis=0)
+        tx = jnp.sum(w * ex1[:, None, :], axis=0)
+        ec = (jnp.sum(w * d2y[:, :, None], axis=0)
+              + jnp.sum(w * ec1[:, None, :], axis=0))
+        return S, ty, tx, ec
+
+    outs = lax.map(chunk_fn, xs_blocks)            # tuple of (nch, Ny, cs)
+    outs = tuple(jnp.moveaxis(o, 0, -2).reshape(Ny, nch * cs)[:, :Nx]
+                 for o in outs)
+    return outs if want_means else outs[0]
+
+
 def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
           max_iter: int = 500, tol=1e-4, check_every: int = 25,
           init_f: jnp.ndarray | None = None,
           init_g: jnp.ndarray | None = None,
-          theta: float = 1.0) -> SinkhornResult:
+          theta: float = 1.0,
+          stabilizer: str = "matmul") -> SinkhornResult:
     """See :func:`_solve_impl` (the jitted core) — this thin wrapper only
     validates ``theta`` eagerly: inside jit theta is a tracer, and a
     divergent theta produces NaN potentials that satisfy every
@@ -101,17 +183,21 @@ def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
         if not 0.0 < theta < 2.0:
             raise ValueError(f"sinkhorn theta={theta} outside the "
                              "convergent range (0, 2)")
+    if stabilizer not in ("matmul", "exact"):
+        raise ValueError(f"unknown stabilizer {stabilizer!r} "
+                         "(expected 'matmul' or 'exact')")
     return _solve_impl(a, b, epsilon, max_iter=max_iter, tol=tol,
                        check_every=check_every, init_f=init_f,
-                       init_g=init_g, theta=theta)
+                       init_g=init_g, theta=theta, stabilizer=stabilizer)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "check_every"))
+@partial(jax.jit, static_argnames=("max_iter", "check_every", "stabilizer"))
 def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
                 max_iter: int = 500, tol=1e-4, check_every: int = 25,
                 init_f: jnp.ndarray | None = None,
                 init_g: jnp.ndarray | None = None,
-                theta: float = 1.0) -> SinkhornResult:
+                theta: float = 1.0,
+                stabilizer: str = "matmul") -> SinkhornResult:
     """Entropic OT between grid densities ``a`` and ``b`` (both (Ny, Nx),
     nonnegative; normalized to unit mass internally).
 
@@ -147,7 +233,7 @@ def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     la = eps * jnp.log(jnp.maximum(a, tiny))
     lb = eps * jnp.log(jnp.maximum(b, tiny))
 
-    def softmin(h):
+    def softmin_matmul(h):
         """eps * log( sum_{y',x'} exp((h[y',x'] - Cy - Cx)/eps) ) as a
         field over (y, x), via two stabilized stages: per-y'-row shifts
         for the x' contraction, then per-x-column shifts for the y'
@@ -156,13 +242,19 @@ def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
         Kantorovich potentials grow quadratically across the domain
         (range ~ +-180 at eps=1 on 48x48), so mass-carrying rows sit
         ~300/eps below the global max and underflow f32.  K is
-        symmetric, so the same form serves both marginals."""
+        symmetric, so the same form serves both marginals.  (When the
+        within-row spread itself exceeds the dtype's exp window —
+        ~88 nats * eps in f32 — this form floors real mass to ``tiny``;
+        use ``stabilizer='exact'`` there, see :func:`_exact_stats`.)"""
         m1 = jnp.max(h, axis=-1, keepdims=True)                 # (Ny, 1)
         s1 = jnp.matmul(jnp.exp((h - m1) / eps), Kx.T, precision=prec)
         S1 = m1 + eps * jnp.log(jnp.maximum(s1, tiny))          # at (y', x)
         m2 = jnp.max(S1, axis=-2, keepdims=True)                # (1, Nx)
         s2 = jnp.matmul(Ky, jnp.exp((S1 - m2) / eps), precision=prec)
         return m2 + eps * jnp.log(jnp.maximum(s2, tiny))
+
+    softmin = (softmin_matmul if stabilizer == "matmul"
+               else (lambda h: _exact_stats(h, eps, want_means=False)))
 
     class Carry(NamedTuple):
         f: jnp.ndarray
@@ -218,20 +310,26 @@ def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     # 1e147 * 1e-147 at eps=1) and dies in f32.  Numerator and
     # denominator run through the same two-stage shifts as softmin
     # (_plan_row_stats), so the stabilization cancels exactly in the ratio.
-    iy = lax.broadcasted_iota(jnp.int32, (Ny, Ny), 0)
-    jy = lax.broadcasted_iota(jnp.int32, (Ny, Ny), 1)
-    ix = lax.broadcasted_iota(jnp.int32, (Nx, Nx), 0)
-    jx = lax.broadcasted_iota(jnp.int32, (Nx, Nx), 1)
-    KyD = Ky * ((iy - jy) ** 2).astype(dtype)
-    KxD = Kx * ((ix - jx) ** 2).astype(dtype)
-    den, (numCy, numCx) = _plan_row_stats(
-        c.g, eps, Ky, Kx, [(KyD, Kx), (Ky, KxD)], tiny, prec)
-    # rows whose stabilized denominator underflowed carry no usable
-    # information (their a_i e^{-f_i/eps} factor fell below f32 range —
-    # happens for pixels far outside the mass at frame-scale domains);
-    # a bare den > 0 test let denormal ratios blow the sum up to inf
-    E = jnp.where(den > _den_floor(dtype),
-                  (numCy + numCx) / jnp.maximum(den, tiny), 0.0)
+    if stabilizer == "exact":
+        # the same exactly-shifted pass yields E_i[C] directly (ratios of
+        # same-shift sums — no underflow, no floor masking needed)
+        _, _, _, E = _exact_stats(c.g, eps, want_means=True)
+    else:
+        iy = lax.broadcasted_iota(jnp.int32, (Ny, Ny), 0)
+        jy = lax.broadcasted_iota(jnp.int32, (Ny, Ny), 1)
+        ix = lax.broadcasted_iota(jnp.int32, (Nx, Nx), 0)
+        jx = lax.broadcasted_iota(jnp.int32, (Nx, Nx), 1)
+        KyD = Ky * ((iy - jy) ** 2).astype(dtype)
+        KxD = Kx * ((ix - jx) ** 2).astype(dtype)
+        den, (numCy, numCx) = _plan_row_stats(
+            c.g, eps, Ky, Kx, [(KyD, Kx), (Ky, KxD)], tiny, prec)
+        # rows whose stabilized denominator underflowed carry no usable
+        # information (their a_i e^{-f_i/eps} factor fell below f32 range
+        # — happens for pixels far outside the mass at frame-scale
+        # domains); a bare den > 0 test let denormal ratios blow the sum
+        # up to inf
+        E = jnp.where(den > _den_floor(dtype),
+                      (numCy + numCx) / jnp.maximum(den, tiny), 0.0)
     cost = jnp.sum(a * E)
     return SinkhornResult(cost=cost, f=c.f, g=c.g,
                           marginal_error=c.err, iterations=c.it)
@@ -291,7 +389,8 @@ def solve_annealed(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
                    anneal_from: float | None = None,
                    anneal_factor: float = 4.0,
                    stage_iters: int = 50,
-                   theta: float = 1.0) -> SinkhornResult:
+                   theta: float = 1.0,
+                   stabilizer: str = "matmul") -> SinkhornResult:
     """Epsilon-annealed Sinkhorn (Schmitzer's eps-scaling).
 
     Plain Sinkhorn's contraction rate degrades with ``osc(C)/eps``; at
@@ -326,10 +425,11 @@ def solve_annealed(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     for e in ladder:
         res = solve(a, b, e, max_iter=stage_iters, tol=tol,
                     check_every=min(check_every, stage_iters),
-                    init_f=f, init_g=g, theta=theta)
+                    init_f=f, init_g=g, theta=theta, stabilizer=stabilizer)
         f, g = res.f, res.g
     return solve(a, b, epsilon, max_iter=max_iter, tol=tol,
-                 check_every=check_every, init_f=f, init_g=g, theta=theta)
+                 check_every=check_every, init_f=f, init_g=g, theta=theta,
+                 stabilizer=stabilizer)
 
 
 class FlowResult(NamedTuple):
@@ -347,11 +447,12 @@ class FlowResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("epsilon", "max_iter", "check_every",
-                                   "debias", "anneal"))
+                                   "debias", "anneal", "stabilizer"))
 def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
          max_iter: int = 500, tol=1e-4, check_every: int = 25,
          support_floor=1e-3, debias: bool = True,
-         anneal: bool = True, theta: float = 1.0) -> FlowResult:
+         anneal: bool = True, theta: float = 1.0,
+         stabilizer: str = "matmul") -> FlowResult:
     """Optical flow as the barycentric projection of the entropic plan.
 
     A third flow model family next to the dynamic solvers (FOTO/WFR) and
@@ -388,7 +489,8 @@ def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     an = a / jnp.sum(a)
     _solve = solve_annealed if anneal else solve
     res = _solve(a, b, epsilon, max_iter=max_iter, tol=tol,
-                 check_every=check_every, theta=theta)
+                 check_every=check_every, theta=theta,
+                 stabilizer=stabilizer)
     Ky = _gibbs_1d(Ny, eps, dtype)
     Kx = _gibbs_1d(Nx, eps, dtype)
     prec = jax.lax.Precision.HIGHEST
@@ -399,6 +501,11 @@ def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     pairs = [(Ky * jy, Kx), (Ky, Kx * jx)]
 
     def bary(g):
+        if stabilizer == "exact":
+            # exactly-shifted conditional means: well-defined for every
+            # row (the nearest mass dominates), so no underflow mask
+            _, ty, tx, _ = _exact_stats(g, eps, want_means=True)
+            return ty, tx, jnp.ones_like(ty, dtype=bool)
         den, (numY, numX) = _plan_row_stats(g, eps, Ky, Kx, pairs,
                                             tiny, prec)
         safe = jnp.maximum(den, tiny)
@@ -412,7 +519,8 @@ def flow(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     ty, tx, ok = bary(res.g)
     if debias:
         self_res = _solve(a, a, epsilon, max_iter=max_iter, tol=tol,
-                          check_every=check_every, theta=theta)
+                          check_every=check_every, theta=theta,
+                          stabilizer=stabilizer)
         y0, x0, ok0 = bary(self_res.g)
         ok = ok & ok0
         err = jnp.maximum(res.marginal_error, self_res.marginal_error)
