@@ -12,6 +12,7 @@ upsampling, the framework's own backward warp for the warping step.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
@@ -91,3 +92,18 @@ def solve_gn_pyramid(f1, f2, alpha=0.1, lambda_=0.2, levels: int = 4,
     f1_w = apply_flow(jnp.asarray(f1), u, v, None)
     m = gn.solve_fields(f1_w, jnp.asarray(f2), alpha, lambda_, **gn_kw).m
     return u, v, m
+
+
+# jitted entry points for the CLI: the level loop is Python (static
+# shapes), so one jit compiles the whole coarse-to-fine chain into a
+# single program — eager per-level dispatch through the remote TPU
+# tunnel would cost seconds per op (CLAUDE.md).  Module-level so jax.jit
+# caches across the pipeline's repeated in-process CLI invocations.
+@partial(jax.jit, static_argnames=("levels",))
+def solve_gn_pyramid_jit(f1, f2, alpha=0.1, lambda_=0.2, *, levels=4):
+    return solve_gn_pyramid(f1, f2, alpha, lambda_, levels=levels)
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def solve_hs_pyramid_jit(f1, f2, alpha=0.1, *, levels=4):
+    return solve_hs_pyramid(f1, f2, alpha, levels=levels)

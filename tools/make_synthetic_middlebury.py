@@ -106,6 +106,11 @@ def motions(w, h, translation_scale: float = 1.0):
         ("RotZoom", *about_center(1.012 * R(-0.8), np.array([-4.0, 2.0]))),
         ("Diverge", *about_center(np.array([[1.018, 0.0], [0.0, 0.985]]),
                                   np.array([3.0, 3.0]))),
+        # large-displacement regime (round 5, VERDICT r4 items 5/6): ~11.7
+        # px post-resize (eval zips are halved by the pipeline) / at
+        # translation_scale=0.5 native (mb2) — far past the linearized
+        # solvers' basin, where the pyramid and the OT solvers must carry
+        ("LargeMotion", *about_center(np.eye(2), np.array([20.0, 12.0]))),
     ]
 
 
@@ -170,8 +175,12 @@ def main() -> int:
     dz = out / "other-gray-twoframes.zip"
     gz = out / "other-gt-flow.zip"
     with zipfile.ZipFile(dz, "w") as zd, zipfile.ZipFile(gz, "w") as zg:
-        for i, (name, A, b) in enumerate(
-                motions(w2, h2, translation_scale=0.5)[:4]):
+        # first four motions + LargeMotion (exact GT is what makes the
+        # large-displacement EE comparison possible); appended LAST so the
+        # texture seeds (200+i) of the original four sequences are
+        # unchanged vs earlier rounds' committed results
+        mb2 = motions(w2, h2, translation_scale=0.5)
+        for i, (name, A, b) in enumerate(mb2[:4] + [mb2[6]]):
             f10, f11, u, v = render_pair(texture(200 + i), A, b, w2, h2)
             zd.writestr(f"other-data-gray/{name}/frame10.png",
                         png_bytes(f10))
