@@ -71,6 +71,9 @@ def main() -> int:
                    help="solve B independent pairs per call (vmapped — the "
                         "TPU form of run.sh's sequential per-sequence loop); "
                         "throughput counts all B pairs")
+    p.add_argument("--no-families", action="store_true",
+                   help="skip the GN/WFR/sinkhorn chain-marginal metrics "
+                        "(three extra N/5N program pairs)")
     p.add_argument("--with-cg", action="store_true",
                    help="also time the reference-faithful CG stepA path "
                         "(extra compile; stderr only)")
@@ -206,15 +209,106 @@ def main() -> int:
     pts = args.Nt * args.ny * args.nx * iters * args.batch
     rate = pts / best
 
-    print(json.dumps({
+    out = {
         "metric": "foto_alg2_gridpoint_iters_per_s",
         "value": round(rate, 1),
         "unit": "grid-point-iterations/s",
         "vs_baseline": round(rate / BASELINE_PTS_PER_S, 2),
         "device_ms_per_iter_marginal": round(marginal_ms, 4),
         "wall_ms_per_iter": round(best / iters * 1e3, 4),
-    }))
+    }
+    if not args.no_families:
+        out.update(bench_families(args, rho0, rhoT))
+    print(json.dumps(out))
     return 0
+
+
+def bench_families(args, rho0, rhoT) -> dict:
+    """Chain-marginal device-time estimates for the OTHER three solver
+    families (VERDICT.md r4 item 9) — one extra N/5N program pair each,
+    all hitting the persistent compile cache on repeat runs.
+
+    * ``gn_ms_device``: full GN solve, chained inside one program (each
+      repetition's input is perturbed by the previous solution so XLA
+      cannot collapse the chain).
+    * ``wfr_ms_per_iter_device``: unbalanced ALG2 iteration (4-component
+      state), fixed-iteration fori_loop like the FOTO metric.
+    * ``sinkhorn_us_per_iter_device``: log-domain Sinkhorn iteration at
+      the production frame-scale eps=100 (annealed production solves run
+      the same executable per stage).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from ofot_tpu.solvers import foto, gn, sinkhorn, wfr
+
+    if rho0.ndim == 3:                      # families are single-pair
+        rho0, rhoT = rho0[0], rhoT[0]
+    results = {}
+
+    def marginal(make, n, reps=3, scale=1e3):
+        fns = {k: jax.jit(make(k)) for k in (n, 5 * n)}
+        best = {}
+        for k, fn in fns.items():
+            t0 = time.time()
+            float(jnp.asarray(fn(rho0, rhoT)).ravel()[0])
+            print(f"    first call ({k} reps) {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                float(jnp.asarray(fn(rho0, rhoT)).ravel()[0])
+                b = min(b, time.time() - t0)
+            best[k] = b
+        return (best[5 * n] - best[n]) / (4 * n) * scale
+
+    # GN: chain full solves (the solution feeds the next input's
+    # perturbation — data dependence defeats CSE)
+    def make_gn(reps):
+        def run(a, b):
+            def body(_, u):
+                r = gn.solve_fields(a + 1e-6 * u, b, 0.1, 0.2)
+                return r.u
+            return jnp.sum(lax.fori_loop(0, reps, body, jnp.zeros_like(a)))
+        return run
+
+    # chain lengths scale with --iters so a reduced smoke run stays
+    # cheap; the defaults (iters=200) give N=4/40/400
+    print("  [gn chain]", file=sys.stderr)
+    results["gn_ms_device"] = round(
+        marginal(make_gn, max(2, args.iters // 50)), 4)
+
+    # WFR: fixed-iteration unbalanced ALG2 (production delta=5)
+    wops = foto.stepA_ops("dct")
+
+    def make_wfr(iters):
+        def run(a, b):
+            st = wfr.init_state(a, b, args.Nt)
+
+            def body(_, s):
+                return wfr.alg2_iteration(
+                    s, a, b, r=1.0, delta=5.0, reg_epsilon=1e-2,
+                    convergence_tol=0.0, cg_rtol=args.cg_rtol,
+                    cg_maxiter=args.cg_maxiter, ops=wops)
+            return lax.fori_loop(0, iters, body, st).crit
+        return run
+
+    print("  [wfr iters]", file=sys.stderr)
+    results["wfr_ms_per_iter_device"] = round(
+        marginal(make_wfr, max(2, args.iters // 5)), 4)
+
+    # Sinkhorn: fixed-iteration log-domain updates at frame-scale eps
+    def make_sk(iters):
+        def run(a, b):
+            r = sinkhorn._solve_impl(a, b, 100.0, max_iter=iters,
+                                     tol=0.0, check_every=iters)
+            return r.marginal_error
+        return run
+
+    print("  [sinkhorn iters]", file=sys.stderr)
+    results["sinkhorn_us_per_iter_device"] = round(
+        marginal(make_sk, max(4, args.iters * 2), scale=1e6), 3)
+    return results
 
 
 def bench_gn(args) -> int:
