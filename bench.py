@@ -263,13 +263,22 @@ def bench_families(args, rho0, rhoT) -> dict:
         return (best[5 * n] - best[n]) / (4 * n) * scale
 
     # GN: chain full solves (the solution feeds the next input's
-    # perturbation — data dependence defeats CSE)
+    # perturbation — data dependence defeats CSE).  Same textured
+    # workload + rtol as bench_gn / the BENCHMARKS.md r4 table (~153 PCG
+    # its) — the smooth blob pair exercises a different CG count.
+    yy, xx = np.mgrid[0:args.ny, 0:args.nx].astype(np.float32)
+    t1 = (np.sin(xx / 7.0) + np.cos(yy / 5.0)
+          + np.sin((xx + yy) / 11.0) + 3) / 6
+    t2 = np.roll(np.roll(t1, 2, axis=0), 3, axis=1)
+    t1, t2 = jnp.asarray(t1), jnp.asarray(t2)
+
     def make_gn(reps):
         def run(a, b):
+            del a, b
             def body(_, u):
-                r = gn.solve_fields(a + 1e-6 * u, b, 0.1, 0.2)
+                r = gn.solve_fields(t1 + 1e-6 * u, t2, 0.1, 0.2, rtol=1e-7)
                 return r.u
-            return jnp.sum(lax.fori_loop(0, reps, body, jnp.zeros_like(a)))
+            return jnp.sum(lax.fori_loop(0, reps, body, jnp.zeros_like(t1)))
         return run
 
     # chain lengths scale with --iters so a reduced smoke run stays
