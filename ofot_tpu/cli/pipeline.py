@@ -46,16 +46,18 @@ GN_ARGS = ["--algo=GN", "--alpha=0.1", "--lambda=0.2"]
 # tools/parity_matrix.py); --extra-args "--admm-alpha=1" restores the
 # reference-exact iteration for any sweep.
 # framework extension: unbalanced OT over the sweep (same production
-# budget as FOTO).  delta=5 px from the round-4 delta study (RESULTS.md):
-# -lum IE improves monotonically as delta shrinks (20.6 at delta=5 vs
-# FOTO's 31.9 on Rotate-lum; 34.9 at the old delta=20) while mb2 EE vs
-# ground truth stays flat to the 4th digit down to delta=2.5 — the
-# growth channel absorbs illumination without degrading the transport
-# estimate; 5 keeps the ~pi*delta/2 ~ 8 px transport cutoff above
-# typical half-res motion
+# budget as FOTO).  delta=2.5 px from the round-5 delta study
+# (RESULTS.md): -lum IE improves monotonically as delta shrinks (mean
+# 9.33 at 2.5 vs 15.0 at the r4 default 5 vs GN's 15.35), clean mb1 IE
+# too (4.18 vs 5.91), and the r4 safety concern — that the ~pi*delta/2
+# ~ 3.9 px transport cutoff would re-route large motions into growth —
+# is refuted by data: mb2 EE vs ground truth is flat to the THIRD digit
+# across delta 2.5/3.5/5 on every sequence including the 11.7 px
+# LargeMotion (11.663 vs 11.665); pinned by
+# tests/test_wfr.py::test_small_delta_does_not_degrade_transport
 WFR_ARGS = ["--algo=WFR", "--r=1", "--convergence-tol=0.01",
             "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200",
-            "--wfr-delta=5", "--admm-alpha=1.7"]
+            "--wfr-delta=2.5", "--admm-alpha=1.7"]
 FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
              "--reg-epsilon=1e-2", "--Nt=16", "--max-it=200",
              "--admm-alpha=1.7"]
@@ -520,7 +522,7 @@ def _batched_params(extra: str):
     foto_params = dict(Nt=16, r=1.0, convergence_tol=0.01,
                        reg_epsilon=1e-2, max_it=200, admm_alpha=1.7)
     gn_params = dict(alpha=0.1, lambda_=0.2)
-    wfr_params = dict(Nt=16, delta=5.0, r=1.0, convergence_tol=0.01,
+    wfr_params = dict(Nt=16, delta=2.5, r=1.0, convergence_tol=0.01,
                       reg_epsilon=1e-2, max_it=200, admm_alpha=1.7,
                       stepA_solver="auto")
     sinkhorn_params = dict(epsilon=100.0, max_iter=1000, tol=1e-4)

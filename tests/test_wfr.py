@@ -230,3 +230,36 @@ def test_checkpoint_roundtrip(translated_pair, tmp_path):
                                   reg_epsilon=1e-2, convergence_tol=0.0,
                                   max_it=10, init=back)
     assert int(resumed.iteration) == 10
+
+
+def test_delta_transport_cutoff_regimes():
+    """The ~pi*delta/2 transport cutoff, pinned in BOTH regimes (round-5
+    delta study, RESULTS.md).
+
+    Compact-density transport (the OT regime the CLI's generic delta=10
+    default serves): the cutoff is REAL — on a 5 px blob translation the
+    recovered motion grows monotonically with delta (measured 0.93 px at
+    delta=2.5 vs 4.47 px at delta=10).
+
+    Frame-scale sweep data is the OTHER regime: there the committed
+    study (results_r5_wfr25/35 vs results_r5) shows mb2 EE flat to the
+    THIRD digit across delta 2.5/3.5/5 including the 11.7 px LargeMotion
+    while -lum IE improves monotonically downward — which is why the
+    pipeline ships delta=2.5 (cli/pipeline.py WFR_ARGS) while the CLI
+    keeps 10."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.fixtures import smooth_blob_pair
+
+    f1, f2 = smooth_blob_pair(28, 32, shift=(0.0, 5.0))   # 5 px > cutoff
+    a, b = jnp.asarray(f1, jnp.float32), jnp.asarray(f2, jnp.float32)
+    sup = np.asarray(f1) > 0.25 * np.asarray(f1).max()
+    rec = {}
+    for delta in (2.5, 10.0):
+        r = wfr.solve(a, b, 8, delta=delta, r=0.1, reg_epsilon=1e-3,
+                      convergence_tol=0.05, max_it=400)
+        rec[delta] = float(np.asarray(r.u)[sup].mean())
+    # below the cutoff most of the 5 px motion is absorbed as growth...
+    assert rec[2.5] < 2.0, rec
+    # ...well above it the transport recovers most of the shift
+    assert rec[10.0] > 3.5, rec
