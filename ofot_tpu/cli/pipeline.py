@@ -537,7 +537,8 @@ def _batched_params(extra: str):
                "wfr-delta": ("wfr", "delta", float),
                "sinkhorn-epsilon": ("sinkhorn", "epsilon", float),
                "sinkhorn-tol": ("sinkhorn", "tol", float),
-               "sinkhorn-theta": ("sinkhorn", "theta", float)}
+               "sinkhorn-theta": ("sinkhorn", "theta", float),
+               "sinkhorn-stabilizer": ("sinkhorn", "stabilizer", str)}
     by_which = {"foto": foto_params, "gn": gn_params, "wfr": wfr_params,
                 "sinkhorn": sinkhorn_params}
     # flags the per-sequence path honors that are handled by the batch

@@ -175,6 +175,13 @@ def solve_batch_full(algo: str, f1s, f2s, mesh: Mesh | None = None,
         if th is not None and not 0.0 < float(th) < 2.0:
             raise ValueError(f"sinkhorn theta={th} outside the "
                              "convergent range (0, 2)")
+        stab = sp.get("stabilizer")
+        if stab is not None and stab not in ("matmul", "exact"):
+            # 'auto' is a CLI-level retry policy, not a solver mode —
+            # in batch mode the pipeline's escalation IS the auto path
+            raise ValueError(f"batch sinkhorn stabilizer={stab!r} must "
+                             "be 'matmul' or 'exact' (the pipeline's "
+                             "per-sequence escalation provides 'auto')")
         run = _batched_sinkhorn_fn(tuple(sorted(sp.items())),
                                    batch_mode, fmesh)
         return run(f1s, f2s)
