@@ -212,6 +212,47 @@ def test_escalation_triggers_above_tol(monkeypatch, tmp_path):
     assert res["iterations"] == 333
 
 
+def test_escalation_failure_marked(monkeypatch, tmp_path):
+    """A failed f64 escalation must leave a marker in the manifest entry
+    so sweep summaries can surface sequences shipped on the f32 floor
+    (ADVICE.md r4)."""
+    stats = tmp_path / "s.jsonl"
+    stats.write_text(json.dumps({"event": "solve",
+                                 "marginal_error": 0.05}) + "\n")
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_f64",
+                        lambda argv: False)
+    res = {"marginal_error": 0.05, "wall_s": 1.0}
+    pipeline._maybe_escalate_sinkhorn(res, ["--algo=sinkhorn"], stats, 1.0)
+    assert res["escalation_failed"] is True
+    assert "escalated_f64" not in res
+
+
+def test_batch_escalation_tries_exact_in_process_first(monkeypatch,
+                                                      tmp_path):
+    """Batch-mode rung 1 (round 5): a flagged batch solve re-runs
+    per-sequence IN PROCESS (the CLI's auto stabilizer) before any f64
+    subprocess; if the re-fold shows convergence the f64 rung is never
+    reached."""
+    stats = tmp_path / "s.jsonl"
+    stats.write_text(json.dumps({"event": "solve",
+                                 "marginal_error": 8e-5,
+                                 "stabilizer": "exact",
+                                 "iterations": 325}) + "\n")
+    calls = []
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_inprocess",
+                        lambda argv: calls.append("exact") or True)
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_f64",
+                        lambda argv: calls.append("f64") or True)
+    res = {"marginal_error": 0.12, "wall_s": 1.0, "batched": True}
+    pipeline._maybe_escalate_sinkhorn(res, ["--algo=sinkhorn"], stats, 1.0)
+    assert calls == ["exact"]
+    assert res["escalated_exact"] is True
+    assert res["marginal_error_batch"] == 0.12
+    assert res["marginal_error"] == 8e-5
+    assert res["stabilizer"] == "exact"
+    assert "escalated_f64" not in res
+
+
 def test_escalation_triggers_on_nan(monkeypatch, tmp_path):
     """A diverged (NaN) marginal error must escalate too — `me <= tol`
     is False for NaN by IEEE semantics."""
