@@ -232,7 +232,8 @@ def bench_families(args, rho0, rhoT) -> dict:
       repetition's input is perturbed by the previous solution so XLA
       cannot collapse the chain).
     * ``wfr_ms_per_iter_device``: unbalanced ALG2 iteration (4-component
-      state), fixed-iteration fori_loop like the FOTO metric.
+      state) at the production sweep delta=2.5, fixed-iteration
+      fori_loop like the FOTO metric.
     * ``sinkhorn_us_per_iter_device``: log-domain Sinkhorn iteration at
       the production frame-scale eps=100 (annealed production solves run
       the same executable per stage).
@@ -287,7 +288,7 @@ def bench_families(args, rho0, rhoT) -> dict:
     results["gn_ms_device"] = round(
         marginal(make_gn, max(2, args.iters // 50)), 4)
 
-    # WFR: fixed-iteration unbalanced ALG2 (production delta=5)
+    # WFR: fixed-iteration unbalanced ALG2 (production sweep delta=2.5)
     wops = foto.stepA_ops("dct")
 
     def make_wfr(iters):
@@ -296,7 +297,7 @@ def bench_families(args, rho0, rhoT) -> dict:
 
             def body(_, s):
                 return wfr.alg2_iteration(
-                    s, a, b, r=1.0, delta=5.0, reg_epsilon=1e-2,
+                    s, a, b, r=1.0, delta=2.5, reg_epsilon=1e-2,
                     convergence_tol=0.0, cg_rtol=args.cg_rtol,
                     cg_maxiter=args.cg_maxiter, ops=wops)
             return lax.fori_loop(0, iters, body, st).crit

@@ -180,7 +180,8 @@ def main() -> int:
         # texture seeds (200+i) of the original four sequences are
         # unchanged vs earlier rounds' committed results
         mb2 = motions(w2, h2, translation_scale=0.5)
-        for i, (name, A, b) in enumerate(mb2[:4] + [mb2[6]]):
+        large = next(m for m in mb2 if m[0] == "LargeMotion")
+        for i, (name, A, b) in enumerate(mb2[:4] + [large]):
             f10, f11, u, v = render_pair(texture(200 + i), A, b, w2, h2)
             zd.writestr(f"other-data-gray/{name}/frame10.png",
                         png_bytes(f10))
