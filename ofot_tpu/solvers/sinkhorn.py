@@ -159,7 +159,8 @@ def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
           init_f: jnp.ndarray | None = None,
           init_g: jnp.ndarray | None = None,
           theta: float = 1.0,
-          stabilizer: str = "matmul") -> SinkhornResult:
+          stabilizer: str = "matmul",
+          verify: bool = True) -> SinkhornResult:
     """See :func:`_solve_impl` (the jitted core) — this thin wrapper only
     validates ``theta`` eagerly: inside jit theta is a tracer, and a
     divergent theta produces NaN potentials that satisfy every
@@ -188,16 +189,19 @@ def solve(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
                          "(expected 'matmul' or 'exact')")
     return _solve_impl(a, b, epsilon, max_iter=max_iter, tol=tol,
                        check_every=check_every, init_f=init_f,
-                       init_g=init_g, theta=theta, stabilizer=stabilizer)
+                       init_g=init_g, theta=theta, stabilizer=stabilizer,
+                       verify=verify)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "check_every", "stabilizer"))
+@partial(jax.jit, static_argnames=("max_iter", "check_every", "stabilizer",
+                                   "verify"))
 def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
                 max_iter: int = 500, tol=1e-4, check_every: int = 25,
                 init_f: jnp.ndarray | None = None,
                 init_g: jnp.ndarray | None = None,
                 theta: float = 1.0,
-                stabilizer: str = "matmul") -> SinkhornResult:
+                stabilizer: str = "matmul",
+                verify: bool = True) -> SinkhornResult:
     """Entropic OT between grid densities ``a`` and ``b`` (both (Ny, Nx),
     nonnegative; normalized to unit mass internally).
 
@@ -331,8 +335,24 @@ def _solve_impl(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
         E = jnp.where(den > _den_floor(dtype),
                       (numCy + numCx) / jnp.maximum(den, tiny), 0.0)
     cost = jnp.sum(a * E)
+    err = c.err
+    if stabilizer == "matmul" and verify:
+        # integrity check against the SILENT matmul-softmin failure mode
+        # (round 5; tests/test_sinkhorn.py exp-window test): when the
+        # within-row potential spread exceeds the dtype's exp window the
+        # tiny-floored softmin can report a tiny marginal error for a
+        # garbage plan.  Recompute the final marginals once with the
+        # exactly-shifted softmin (two _exact_stats calls, ~0.45 ms on
+        # chip at frame scale) and fold the TRUE error into the report —
+        # a silent failure then surfaces as marginal_error >> tol, which
+        # the CLI/pipeline auto-escalation already handles.
+        err_a = jnp.sum(jnp.abs(jnp.exp(
+            (c.f + _exact_stats(c.g, eps, want_means=False)) / eps) - a))
+        err_b = jnp.sum(jnp.abs(jnp.exp(
+            (c.g + _exact_stats(c.f, eps, want_means=False)) / eps) - b))
+        err = jnp.maximum(err, jnp.maximum(err_a, err_b))
     return SinkhornResult(cost=cost, f=c.f, g=c.g,
-                          marginal_error=c.err, iterations=c.it)
+                          marginal_error=err, iterations=c.it)
 
 
 def _den_floor(dtype):
@@ -390,7 +410,8 @@ def solve_annealed(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
                    anneal_factor: float = 4.0,
                    stage_iters: int = 50,
                    theta: float = 1.0,
-                   stabilizer: str = "matmul") -> SinkhornResult:
+                   stabilizer: str = "matmul",
+                   verify: bool = True) -> SinkhornResult:
     """Epsilon-annealed Sinkhorn (Schmitzer's eps-scaling).
 
     Plain Sinkhorn's contraction rate degrades with ``osc(C)/eps``; at
@@ -425,11 +446,12 @@ def solve_annealed(a: jnp.ndarray, b: jnp.ndarray, epsilon=4.0, *,
     for e in ladder:
         res = solve(a, b, e, max_iter=stage_iters, tol=tol,
                     check_every=min(check_every, stage_iters),
-                    init_f=f, init_g=g, theta=theta, stabilizer=stabilizer)
+                    init_f=f, init_g=g, theta=theta, stabilizer=stabilizer,
+                    verify=False)     # only the FINAL marginal is reported
         f, g = res.f, res.g
     return solve(a, b, epsilon, max_iter=max_iter, tol=tol,
                  check_every=check_every, init_f=f, init_g=g, theta=theta,
-                 stabilizer=stabilizer)
+                 stabilizer=stabilizer, verify=verify)
 
 
 class FlowResult(NamedTuple):
