@@ -35,7 +35,12 @@ output entry and has no f32 envelope at all — it converges the -lum
 Middlebury regime (potential spread ~180 nats at eps=100, where the
 matmul form plateaus at L1 ~0.13) to 1e-4 on device in f32, at
 ~5-10x the per-iteration cost; ``flow``'s CLI uses matmul first and
-escalates to exact automatically (--sinkhorn-stabilizer=auto).
+escalates to exact automatically (--sinkhorn-stabilizer=auto).  The
+matmul path can also fail SILENTLY past the envelope (tiny-floored
+softmin, self-consistently wrong plan behind a small iteration error);
+``solve(..., verify=True)`` — the default — therefore recomputes the
+FINAL marginals once with the exact softmin and folds the true error
+into ``marginal_error``, so such failures surface and escalate.
 Convergence at frame scale additionally needs epsilon ANNEALING
 (:func:`solve_annealed`, the default in :func:`flow`): plain Sinkhorn's
 contraction stalls when osc(C)/eps ~ 1e4 (measured plateau at L1 0.35).
