@@ -314,14 +314,18 @@ def main(argv=None) -> int:
         print(f"\t - max_it={args.max_it}")
         from ofot_tpu.solvers import sinkhorn
         from ofot_tpu.ops import operators
-        if args.sinkhorn_epsilon < 3 and args.precision != "f64":
-            # measured f32 envelope (solvers/sinkhorn.py module docstring):
-            # the dual potentials' dynamic range exceeds f32's exp window
-            # below eps ~ 3 px^2 and the returned flow degrades silently
+        if (args.sinkhorn_epsilon < 3 and args.precision != "f64"
+                and args.sinkhorn_stabilizer == "matmul"):
+            # measured f32 envelope of the matmul softmin (solvers/
+            # sinkhorn.py module docstring).  Only warn when the user
+            # has PINNED matmul: with auto (default) the final-marginal
+            # verification surfaces a below-envelope failure and the
+            # exact re-solve handles it; with exact there is no envelope
             print(f"WARNING: --sinkhorn-epsilon={args.sinkhorn_epsilon} is "
-                  "below the validated f32 envelope (eps >= 3); results "
-                  "may be degraded — use --precision=f64 or a larger eps",
-                  file=sys.stderr)
+                  "below the matmul softmin's f32 envelope (eps >= 3); "
+                  "results may be degraded — drop the pinned "
+                  "--sinkhorn-stabilizer=matmul, or use --precision=f64 "
+                  "or a larger eps", file=sys.stderr)
         if not 0.0 < args.sinkhorn_theta < 2.0:
             # inside flow()'s jit theta is a tracer, so the library-level
             # ValueError cannot fire there — reject at the CLI boundary

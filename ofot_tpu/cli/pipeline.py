@@ -63,14 +63,15 @@ FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
              "--admm-alpha=1.7"]
 # framework extension: static entropic OT — one Sinkhorn solve per pair
 # instead of 200 ALG2 iterations (flow = debiased barycentric projection).
-# eps=100 px^2 is the frame-scale f32 envelope (solvers/sinkhorn.py module
-# docstring: the per-row potential range at 240x320 needs eps >= ~50;
-# the CLI's 4.0 default targets compact blob-scale densities).  max-it
-# 1000: the three illumination-augmented pairs that exit at max-it do so
-# on an f32 precision floor (marginal ~0.03-0.13; the same solves reach
-# 1e-4 in ~325 iterations under f64), so a bigger budget only burns
-# iterations — the CLI's biased-flow warning is the correct surfacing,
-# and --precision=f64 the correct remedy
+# eps=100 px^2 is the frame-scale f32 envelope of the MATMUL softmin
+# (solvers/sinkhorn.py module docstring: the per-row potential range at
+# 240x320 needs eps >= ~50; the CLI's 4.0 default targets compact
+# blob-scale densities).  max-it 1000: the three illumination-augmented
+# pairs that exit at max-it sit past that envelope (marginal ~0.02-0.18)
+# — since round 5 the CLI's auto stabilizer re-solves them with the
+# exactly-stabilized softmin ON DEVICE (1e-4 in ~325 its, f32); the
+# f64-CPU subprocess remains only as a last resort and has not fired
+# since
 SINKHORN_ARGS = ["--algo=sinkhorn", "--sinkhorn-epsilon=100.0",
                  "--max-it=1000"]
 
