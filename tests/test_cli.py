@@ -83,13 +83,20 @@ def test_sinkhorn_writes_artifacts(frames, tmp_path):
 
 
 def test_sinkhorn_f32_envelope_warning(frames, tmp_path, capsys):
-    """eps below the validated f32 envelope (eps >= 3, solvers/sinkhorn.py
-    docstring) must warn instead of silently returning degraded flow;
-    f64 runs are inside the envelope and must not (VERDICT.md r2 weak #8)."""
+    """eps below the matmul softmin's f32 envelope (eps >= 3,
+    solvers/sinkhorn.py docstring) warns only when the user PINS the
+    matmul stabilizer — under the default auto policy the final-marginal
+    verification + exact re-solve handle the regime (round 5), so a
+    blanket warning would be noise; f64 runs are inside the envelope and
+    must not warn either (VERDICT.md r2 weak #8)."""
     rc = _run(frames, tmp_path, "--algo=sinkhorn", "--max-it=100",
-              "--sinkhorn-epsilon=1.0")
+              "--sinkhorn-epsilon=1.0", "--sinkhorn-stabilizer=matmul")
     assert rc == 0
-    assert "below the validated f32 envelope" in capsys.readouterr().err
+    assert "f32 envelope" in capsys.readouterr().err
+    rc = _run(frames, tmp_path, "--algo=sinkhorn", "--max-it=100",
+              "--sinkhorn-epsilon=1.0")           # auto: no warning
+    assert rc == 0
+    assert "envelope" not in capsys.readouterr().err
     rc = _run(frames, tmp_path, "--algo=sinkhorn", "--max-it=100",
               "--sinkhorn-epsilon=1.0", "--precision=f64")
     assert rc == 0
