@@ -218,7 +218,14 @@ def main() -> int:
         "wall_ms_per_iter": round(best / iters * 1e3, 4),
     }
     if not args.no_families:
-        out.update(bench_families(args, rho0, rhoT))
+        try:
+            out.update(bench_families(args, rho0, rhoT))
+        except Exception as e:        # pragma: no cover — the primary
+            # metric line must survive a family-leg failure (e.g. a
+            # degraded-tunnel hang surfacing as a remote error)
+            print(f"bench_families failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            out["families_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
     return 0
 
