@@ -71,7 +71,12 @@ def main() -> int:
                         .get({"gn": "GN", "wfr": "WFR"}.get(algo, algo), {}))
                 iters = diag.get("iterations",          # ALG2 / sinkhorn
                                  diag.get("inner_iterations"))  # GN PCG
-                row += [str(int(iters)) if iters is not None else "—",
+                note = ("!" if diag.get("escalation_failed") else
+                        "*" if diag.get("escalated_f64") else
+                        "+" if diag.get("escalated_exact")
+                        or diag.get("stabilizer") == "exact" else "")
+                row += [(str(int(iters)) if iters is not None else "—")
+                        + note,
                         f"{diag['crit']:.4f}" if "crit" in diag else "—"]
                 agg.setdefault(algo, []).append(
                     tuple(float(b[k]) if k in b else None
@@ -92,6 +97,19 @@ def main() -> int:
         print(f"\n{len(manifest)} sequences, "
               f"{sum(1 for _ in walls)} solves, "
               f"total solver wall {sum(walls):.1f}s")
+        marks = [("+", "exactly-stabilized f32 on-device re-solve"),
+                 ("*", "f64-CPU escalation"),
+                 ("!", "ESCALATION FAILED — f32-floor artifacts shipped")]
+        used = {m for e in manifest.values() for v in e.values()
+                if isinstance(v, dict)
+                for m, cond in (("+", v.get("escalated_exact")
+                                 or v.get("stabilizer") == "exact"),
+                                ("*", v.get("escalated_f64")),
+                                ("!", v.get("escalation_failed")))
+                if cond}
+        legend = [f"{m} = {txt}" for m, txt in marks if m in used]
+        if legend:
+            print("iteration-count marks: " + "; ".join(legend))
     return 0
 
 
