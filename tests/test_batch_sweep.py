@@ -209,3 +209,29 @@ def test_map_mode_bitwise_equals_single_and_vmap():
         aepe = np.sqrt((np.asarray(um) - np.asarray(uv)) ** 2
                        + (np.asarray(vm) - np.asarray(vv)) ** 2).mean()
         assert aepe < 1e-4, (algo, aepe)
+
+
+def test_batch_sinkhorn_exact_stabilizer():
+    """The exactly-stabilized softmin composes with both batch
+    executions and the data mesh (lax.map / shard_map of lax.map /
+    vmap all trace _exact_stats' chunked lax.map internally)."""
+    import numpy as np
+    from ofot_tpu.parallel import sweep, mesh as mesh_mod
+
+    pairs = [fixtures.smooth_blob_pair(24, 28, shift=(2.0, 1.0)),
+             fixtures.smooth_blob_pair(24, 28, shift=(0.0, 1.5))]
+    f1s = np.stack([np.asarray(a, np.float32) for a, _ in pairs])
+    f2s = np.stack([np.asarray(b, np.float32) for _, b in pairs])
+    sp = dict(epsilon=4.0, max_iter=200, tol=1e-4, stabilizer="exact")
+    outs = {}
+    for mode in ("map", "vmap"):
+        u, v, m, d = sweep.solve_batch_full(
+            "sinkhorn", f1s, f2s, mesh_mod.make_mesh({"data": 2}),
+            sinkhorn_params=sp, batch_mode=mode)
+        assert np.asarray(d["marginal_error"]).max() <= 1e-4
+        outs[mode] = np.asarray(u)
+    assert np.allclose(outs["map"], outs["vmap"], atol=1e-4)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="stabilizer"):
+        sweep.solve_batch_full("sinkhorn", f1s, f2s, None,
+                               sinkhorn_params=dict(stabilizer="auto"))
