@@ -78,6 +78,11 @@ def main(argv=None) -> int:
     p.add_argument("--foto-shape", default="48x64")
     p.add_argument("--foto-nt", type=int, default=6)
     p.add_argument("--foto-iters", type=int, default=40)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="optional: distributed Orbax checkpoint round-trip "
+                        "of the GSPMD solve's sharded state (all processes "
+                        "write their own shards, then restore onto the "
+                        "global mesh and fingerprint-verify)")
     args = p.parse_args(argv)
 
     if args.local_devices:
@@ -134,6 +139,21 @@ def main(argv=None) -> int:
     out["foto_crit"] = float(st.crit)
     out["foto_iterations"] = int(st.iteration)
     out["foto_phi_l1"] = float(jax.jit(lambda a: jnp.sum(jnp.abs(a)))(st.phi))
+
+    # --- leg 2b: distributed sharded checkpoint round-trip --------------
+    if args.checkpoint_dir:
+        from ofot_tpu.utils import checkpoint as ckpt
+
+        ckdir = str(Path(args.checkpoint_dir) / "gspmd_state")
+        # every process participates: each writes its addressable shards
+        ckpt.save_state_orbax(ckdir, st)
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=a.sharding), st)
+        restored = ckpt.load_state_orbax(ckdir, abstract_state=abstract)
+        out["ckpt_phi_l1"] = float(
+            jax.jit(lambda a: jnp.sum(jnp.abs(a)))(restored.phi))
+        out["ckpt_iteration"] = int(restored.iteration)
 
     # --- leg 3: this host's partition of the benchmark sweep -----------
     if args.data_root and args.results:

@@ -92,7 +92,8 @@ def test_real_two_process_distributed(tmp_path):
          "--process-id", str(i), "--num-processes", "2",
          "--local-devices", "4", "--out", str(outs[i]),
          "--data-root", str(tmp_path / "data"),
-         "--results", str(tmp_path / "results")],
+         "--results", str(tmp_path / "results"),
+         "--checkpoint-dir", str(tmp_path / "ckpt")],
         env=env, cwd=repo_root, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for i in range(2)]
     logs = []
@@ -114,6 +115,11 @@ def test_real_two_process_distributed(tmp_path):
         assert r["psum"] == r["psum_expected"] == 28.0
         assert r["sweep_rc"] == 0
     # the two processes computed ONE global solve: identical diagnostics
+    # — and the distributed Orbax round-trip (every process saving its
+    # own shards, restoring onto the global mesh) reproduces it exactly
+    for r in res:
+        assert r["ckpt_phi_l1"] == r["foto_phi_l1"]
+        assert r["ckpt_iteration"] == r["foto_iterations"]
     assert res[0]["foto_crit"] == res[1]["foto_crit"]
     assert res[0]["foto_phi_l1"] == res[1]["foto_phi_l1"]
     assert res[0]["foto_iterations"] == res[1]["foto_iterations"] > 0
