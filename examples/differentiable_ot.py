@@ -47,8 +47,9 @@ print(f"grad field: shape {g.shape}, range "
 # two mirror-descent steps (mass-conserving, positivity-preserving)
 mass = float(jnp.sum(a))
 for t in range(2):
-    val, g = jax.value_and_grad(
-        otgrad.sinkhorn_divergence_dual)(a, b, 4.0, kw)
+    if t:      # step 0 reuses the (val, g) already computed above
+        val, g = jax.value_and_grad(
+            otgrad.sinkhorn_divergence_dual)(a, b, 4.0, kw)
     a = a * jnp.exp(-0.6 * g / jnp.max(jnp.abs(g)))
     a = a * mass / jnp.sum(a)
     print(f"descent step {t}: S = {float(val):.4f}")

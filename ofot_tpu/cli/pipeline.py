@@ -378,28 +378,37 @@ def _maybe_escalate_sinkhorn(res: dict, argv: list, stats_path: Path,
     tol = _sinkhorn_tol(argv)
     if me <= tol:
         return
-    if res.get("batched") and "marginal_error_matmul" not in res:
+    already_exact = any(str(t) == "--sinkhorn-stabilizer=exact"
+                        for t in argv)
+    if (res.get("batched") and "marginal_error_matmul" not in res
+            and not already_exact):
         print(f"  sinkhorn marginal error {me:.3g} > tol {tol:g} in the "
               "f32 batch — re-solving per-sequence with the "
               "exactly-stabilized softmin (on device)", flush=True)
         t0 = time.time()
         ok = _escalate_sinkhorn_inprocess(argv)
         wall0 += time.time() - t0     # rung-1 cost counts even if rung 2
-        #                               runs next (manifest wall honesty)
+        res["wall_s"] = wall0         # runs next (manifest wall honesty)
         if ok:
-            res["escalated_exact"] = True
-            res["wall_s"] = wall0
             res["marginal_error_batch"] = me
             _fold_stats(res, stats_path)
             me = res.get("marginal_error")
             if me is not None and me <= tol:
+                # only a CONVERGED exact re-solve earns the marker — an
+                # above-tol exact exit falls through to rung 2 with its
+                # error recorded (review, round 5)
+                res["escalated_exact"] = True
                 return
+            res["marginal_error_exact"] = me
     print(f"  sinkhorn marginal error {me:.3g} > tol {tol:g} at f32 — "
           "escalating to f64 on CPU", flush=True)
     t0 = time.time()
-    if _escalate_sinkhorn_f64(argv):
+    ok = _escalate_sinkhorn_f64(argv)
+    # both outcomes account the attempt's wall (review, round 5: the
+    # failed path used to silently drop the escalation time)
+    res["wall_s"] = wall0 + (time.time() - t0)
+    if ok:
         res["escalated_f64"] = True
-        res["wall_s"] = wall0 + (time.time() - t0)
         res["marginal_error_f32"] = me
         _fold_stats(res, stats_path)     # last record is the f64 solve
     else:
@@ -492,7 +501,9 @@ def cmd_run(args) -> int:
                 with _Img.open(frame10) as _im:
                     frame_size = _im.size
             except OSError:
-                frame_size = None      # let _run_algo report the failure
+                # size probe only; an unreadable frame still fails loudly
+                # inside the solve itself (pre-existing sweep semantics)
+                frame_size = None
             for algo in algos:
                 print(f"== {ds_name}/{seq.name} [{algo}] ==", flush=True)
                 pkey = (algo, frame_size)
@@ -799,6 +810,15 @@ def cmd_run_batch(args) -> int:
                                f"--max-it={sp['max_iter']}"]
                         if "theta" in sp:
                             esc.append(f"--sinkhorn-theta={sp['theta']}")
+                        if "stabilizer" in sp:
+                            # a pinned batch stabilizer rides along so
+                            # rung 1 can see it (exact pin -> skip the
+                            # redundant identical re-solve; matmul pin is
+                            # still overridden by the escalation — the
+                            # safety net outranks the pin, and the rung-1
+                            # message says so)
+                            esc.append("--sinkhorn-stabilizer="
+                                       f"{sp['stabilizer']}")
                         seq_dir = ds / _data_subdir(ds) / key
                         argv, stats_path = _algo_argv(
                             algo, seq_dir / "frame10.png",

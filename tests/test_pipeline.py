@@ -253,6 +253,57 @@ def test_batch_escalation_tries_exact_in_process_first(monkeypatch,
     assert "escalated_f64" not in res
 
 
+def test_batch_escalation_exact_miss_falls_to_f64(monkeypatch,
+                                                  tmp_path):
+    """Rung 1 that runs but MISSES tol must not claim escalated_exact;
+    it records marginal_error_exact and falls through to the f64 rung
+    (review, round 5)."""
+    stats = tmp_path / "s.jsonl"
+    stats.write_text(json.dumps({"event": "solve",
+                                 "marginal_error": 5e-4}) + "\n")
+    calls = []
+
+    def fake_exact(argv):
+        calls.append("exact")
+        return True                    # rc 0, but still above tol
+
+    def fake_f64(argv):
+        calls.append("f64")
+        stats.write_text(json.dumps({"event": "solve",
+                                     "marginal_error": 8e-5}) + "\n")
+        return True
+
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_inprocess",
+                        fake_exact)
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_f64", fake_f64)
+    res = {"marginal_error": 0.12, "wall_s": 1.0, "batched": True}
+    pipeline._maybe_escalate_sinkhorn(res, ["--algo=sinkhorn"], stats, 1.0)
+    assert calls == ["exact", "f64"]
+    assert "escalated_exact" not in res
+    assert res["marginal_error_exact"] == 5e-4
+    assert res["escalated_f64"] is True
+    assert res["marginal_error"] == 8e-5
+
+
+def test_batch_escalation_skips_rung1_when_exact_pinned(monkeypatch,
+                                                        tmp_path):
+    """A batch that already ran with a pinned exact stabilizer must not
+    waste rung 1 on an identical re-solve (review, round 5)."""
+    stats = tmp_path / "s.jsonl"
+    stats.write_text(json.dumps({"event": "solve",
+                                 "marginal_error": 9e-5}) + "\n")
+    calls = []
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_inprocess",
+                        lambda argv: calls.append("exact") or True)
+    monkeypatch.setattr(pipeline, "_escalate_sinkhorn_f64",
+                        lambda argv: calls.append("f64") or True)
+    res = {"marginal_error": 5e-4, "wall_s": 1.0, "batched": True}
+    pipeline._maybe_escalate_sinkhorn(
+        res, ["--algo=sinkhorn", "--sinkhorn-stabilizer=exact"],
+        stats, 1.0)
+    assert calls == ["f64"]
+
+
 def test_escalation_triggers_on_nan(monkeypatch, tmp_path):
     """A diverged (NaN) marginal error must escalate too — `me <= tol`
     is False for NaN by IEEE semantics."""

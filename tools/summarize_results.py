@@ -16,6 +16,18 @@ import sys
 from pathlib import Path
 
 
+def _escalation_mark(diag: dict) -> str:
+    """One-character escalation note for a manifest entry (precedence:
+    failed > f64 > on-device exact)."""
+    if diag.get("escalation_failed"):
+        return "!"
+    if diag.get("escalated_f64"):
+        return "*"
+    if diag.get("escalated_exact") or diag.get("stabilizer") == "exact":
+        return "+"
+    return ""
+
+
 def parse_benchmark(path: Path) -> dict:
     out = {}
     for line in path.read_text().splitlines():
@@ -71,10 +83,7 @@ def main() -> int:
                         .get({"gn": "GN", "wfr": "WFR"}.get(algo, algo), {}))
                 iters = diag.get("iterations",          # ALG2 / sinkhorn
                                  diag.get("inner_iterations"))  # GN PCG
-                note = ("!" if diag.get("escalation_failed") else
-                        "*" if diag.get("escalated_f64") else
-                        "+" if diag.get("escalated_exact")
-                        or diag.get("stabilizer") == "exact" else "")
+                note = _escalation_mark(diag)
                 row += [(str(int(iters)) if iters is not None else "—")
                         + note,
                         f"{diag['crit']:.4f}" if "crit" in diag else "—"]
@@ -100,13 +109,10 @@ def main() -> int:
         marks = [("+", "exactly-stabilized f32 on-device re-solve"),
                  ("*", "f64-CPU escalation"),
                  ("!", "ESCALATION FAILED — f32-floor artifacts shipped")]
-        used = {m for e in manifest.values() for v in e.values()
-                if isinstance(v, dict)
-                for m, cond in (("+", v.get("escalated_exact")
-                                 or v.get("stabilizer") == "exact"),
-                                ("*", v.get("escalated_f64")),
-                                ("!", v.get("escalation_failed")))
-                if cond}
+        # same precedence function as the rows, so the legend can never
+        # list a mark that appears nowhere (review, round 5)
+        used = {_escalation_mark(v) for e in manifest.values()
+                for v in e.values() if isinstance(v, dict)}
         legend = [f"{m} = {txt}" for m, txt in marks if m in used]
         if legend:
             print("iteration-count marks: " + "; ".join(legend))
