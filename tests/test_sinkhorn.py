@@ -279,3 +279,29 @@ def test_solve_rejects_unknown_stabilizer():
     with pytest.raises(ValueError, match="stabilizer"):
         sinkhorn.solve(jnp.asarray(f1), jnp.asarray(f2), 4.0,
                        stabilizer="bogus")
+
+
+def test_exact_stats_orientation_and_chunk_padding():
+    """_exact_stats across transposed shapes and non-divisible chunks
+    (the padded-duplicate columns must be recomputed-then-dropped
+    exactly), against direct per-point evaluation."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    for (Ny, Nx), chunk in (((5, 17), 3), ((17, 5), 64), ((13, 40), 16)):
+        h = rng.randn(Ny, Nx) * 50
+        S, ty, tx, ec = sinkhorn._exact_stats(
+            jnp.asarray(h), 7.3, want_means=True, chunk=chunk)
+        yy, xx = np.mgrid[0:Ny, 0:Nx]
+        for _ in range(4):
+            y, x = rng.randint(0, Ny), rng.randint(0, Nx)
+            C = (yy - y) ** 2 + (xx - x) ** 2
+            m = (h - C).max()
+            w = np.exp((h - C - m) / 7.3)
+            assert float(S[y, x]) == pytest.approx(
+                m + 7.3 * np.log(w.sum()), rel=1e-6, abs=1e-6)
+            assert float(tx[y, x]) == pytest.approx(
+                (w * xx).sum() / w.sum(), abs=1e-5)
+            assert float(ty[y, x]) == pytest.approx(
+                (w * yy).sum() / w.sum(), abs=1e-5)
