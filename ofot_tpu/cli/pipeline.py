@@ -66,7 +66,7 @@ FOTO_ARGS = ["--algo=foto", "--r=1", "--convergence-tol=0.01",
 # eps=100 px^2 is the frame-scale f32 envelope of the MATMUL softmin
 # (solvers/sinkhorn.py module docstring: the per-row potential range at
 # 240x320 needs eps >= ~50; the CLI's 4.0 default targets compact
-# blob-scale densities).  max-it 1000: the three illumination-augmented
+# blob-scale densities).  max-it 1000: the illumination-augmented
 # pairs that exit at max-it sit past that envelope (marginal ~0.02-0.18)
 # — since round 5 the CLI's auto stabilizer re-solves them with the
 # exactly-stabilized softmin ON DEVICE (1e-4 in ~325 its, f32); the
@@ -321,7 +321,7 @@ def _escalate_sinkhorn_f64(argv: list) -> bool:
     """Re-run an f32 sinkhorn solve that plateaued above tolerance at f64
     on CPU, overwriting the sequence's artifacts.
 
-    The three -lum sequences that exit at max-it sit on an f32 precision
+    The -lum sequences that exit at max-it sit on an f32 precision
     floor (BENCHMARKS.md: f32 plateaus at the same marginal error with a
     6x budget, f64 reaches 1e-4 in ~325 iterations), so the pipeline
     escalates instead of shipping known-biased flows (VERDICT.md r3
